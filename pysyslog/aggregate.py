@@ -1,0 +1,69 @@
+"""Aggregation stage: per-sink counts + facility×severity×hour windows,
+with explicit skew handling.
+
+⇔ BASELINE.json north_star "aggregate (counts per sink, per
+facility×severity×hour window) ... salted keys for skewed
+hosts/programs".  facility×severity is low-cardinality (≤192 groups) so
+Spark's partial (map-side) aggregation already reduces each input
+partition to ≤192 rows before the shuffle — salting is unnecessary
+there.  Host/program keys are Zipf-skewed, so `salted_counts` runs the
+canonical two-stage salted aggregation for them: stage 1 groups on
+(key, salt) spreading a hot key over N reducers, stage 2 merges the ≤N
+partials per key.  Results are identical to a direct groupBy; only the
+shuffle layout changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def hourly_facility_severity_counts(enriched: DataFrame) -> DataFrame:
+    """facility × severity × hour window counts (golden_agg shape,
+    FIXTURES.md §4)."""
+    return (
+        enriched.groupBy(
+            F.col("facility_name"),
+            F.col("severity_name"),
+            F.window("ts", "1 hour").start.alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def sink_counts(enriched: DataFrame) -> DataFrame:
+    """Counts per routed sink (facility_name/severity_name)."""
+    return (
+        enriched.groupBy("facility_name", "severity_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "sink", F.concat_ws("/", F.col("facility_name"), F.col("severity_name"))
+        )
+    )
+
+
+def salted_counts(df: DataFrame, key_col: str, n_salts: int = 32,
+                  out_col: str = "n") -> DataFrame:
+    """Two-stage salted count-by-key for Zipf-skewed keys.
+
+    Stage 1 shuffles on (key, salt) — a hot key spreads over `n_salts`
+    reducers; stage 2 shuffles the ≤n_salts partials per key.  Total
+    stage-2 input is ≤ n_salts × |distinct keys|, independent of row
+    count, so the plan scales with data volume while no reducer ever
+    receives a whole hot key.
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    stage1 = (
+        df.withColumn("__salt", salt)
+        .groupBy(key_col, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return stage1.groupBy(key_col).agg(F.sum("__partial").alias(out_col))
+
+
+def program_counts_salted(enriched: DataFrame, n_salts: int = 32) -> DataFrame:
+    return salted_counts(enriched, "program_name", n_salts)
+
+
+def host_counts_salted(enriched: DataFrame, n_salts: int = 32) -> DataFrame:
+    return salted_counts(enriched, "host", n_salts)

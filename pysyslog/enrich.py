@@ -1,0 +1,65 @@
+"""Lookup-enrich stage: broadcast hash joins with small dimensions.
+
+⇔ BASELINE.json north_star "lookup-enrich (facility/severity name
+tables, GeoIP-style host dimension broadcast join)".  All joins are
+explicit `broadcast()` so the plan never shuffles the fact side for a
+dimension lookup — at 10^12 rows a shuffle join here would dominate the
+job.  The facility/severity dims mirror the reference's frozen lookup
+hashes (Line.pm:90-143); the host dim is synthetic GeoIP-style
+metadata derived deterministically from the host pool.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .tables import facility_dim, severity_dim
+
+
+def host_dim(spark, n_hosts: int = 400) -> DataFrame:
+    """Deterministic GeoIP-style host dimension (FIXTURES.md §3)."""
+    from .gen import _hostname
+
+    sites = ["iad", "sfo", "fra", "sin"]
+    regions = ["us-east", "us-west", "eu-central", "ap-south"]
+    rows = []
+    for r in range(n_hosts):
+        name = _hostname(r)
+        host = name.split(".")[0] if not name[0].isdigit() else name
+        rows.append(
+            (
+                host,
+                sites[r % 4],
+                regions[r % 4],
+                round(-60.0 + (r * 37 % 1200) / 10.0, 1),
+                round(-180.0 + (r * 53 % 3600) / 10.0, 1),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "host string, site string, region string, lat double, lon double"
+    ).dropDuplicates(["host"])
+
+
+def enrich(parsed: DataFrame, spark=None, with_host_dim: bool = True) -> DataFrame:
+    """Attach severity_name/facility_name from the dimension tables and
+    host geo metadata.  Unparseable PRIs keep NULL names; rows without a
+    PRI fall back to user/notice (the syslogd default, RFC 3164 §4.1.1)."""
+    spark = spark or parsed.sparkSession
+    sev = severity_dim(spark).withColumnRenamed("severity_int", "__sev_int")
+    fac = facility_dim(spark).withColumnRenamed("facility_int", "__fac_int")
+    out = (
+        parsed.join(
+            F.broadcast(sev),
+            F.coalesce(parsed["priority_int"], F.lit(5)) == F.col("__sev_int"),
+            "left",
+        )
+        .join(
+            F.broadcast(fac),
+            F.coalesce(parsed["facility_int"], F.lit(8)) == F.col("__fac_int"),
+            "left",
+        )
+        .drop("__sev_int", "__fac_int")
+    )
+    if with_host_dim:
+        out = out.join(F.broadcast(host_dim(spark)), on="host", how="left")
+    return out

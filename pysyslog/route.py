@@ -1,0 +1,71 @@
+"""Route stage: fan-out of parsed+enriched records into per-sink tables.
+
+⇔ BASELINE.json north_star "route (fan-out by facility/severity/program
+into per-sink Iceberg tables)".  The scalable fan-out is ONE partitioned
+write — `partitionBy(facility_name, severity_name)` — not N filtered
+jobs: a single scan feeds every sink and the writer splits files by
+partition value.  In this sandbox the sink format is parquet; on a real
+cluster the same DataFrame goes to `.writeTo(table)` (Iceberg) with
+identity partition transforms — the plan shape is unchanged.
+
+Per-program sinks use the same mechanism keyed by program_name, with a
+cardinality cap (unknown/rare programs route to '__other') so a hostile
+corpus cannot create unbounded partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+
+ROUTE_COLS = ["facility_name", "severity_name"]
+
+
+def route_by_facility_severity(
+    enriched: DataFrame,
+    out_dir: str,
+    mode: str = "overwrite",
+    max_records_per_file: int = 1_000_000,
+) -> str:
+    path = os.path.join(out_dir, "by_facility_severity")
+    (
+        enriched.withColumn("facility_name", F.coalesce("facility_name", F.lit("__unknown")))
+        .withColumn("severity_name", F.coalesce("severity_name", F.lit("__unknown")))
+        .write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*ROUTE_COLS)
+        .parquet(path)
+    )
+    return path
+
+
+def route_by_program(
+    enriched: DataFrame,
+    out_dir: str,
+    top_programs: int = 64,
+    mode: str = "overwrite",
+) -> str:
+    """Per-program sinks, capped to the top-N programs by volume (the
+    long tail routes to '__other').  The top-N set is computed with a
+    salted count so a hot program doesn't skew the ranking shuffle."""
+    from .aggregate import salted_counts
+
+    path = os.path.join(out_dir, "by_program")
+    top = [
+        r["program_name"]
+        for r in salted_counts(enriched.filter(F.col("program_name").isNotNull()),
+                               "program_name")
+        .orderBy(F.desc("n"), "program_name")
+        .limit(top_programs)
+        .collect()
+    ]
+    routed = enriched.withColumn(
+        "program_sink",
+        F.when(F.col("program_name").isin(top), F.col("program_name")).otherwise(
+            F.lit("__other")
+        ),
+    )
+    routed.write.mode(mode).partitionBy("program_sink").parquet(path)
+    return path
