@@ -1,38 +1,553 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 (parse stages,
+enrich/route/aggregate engine ops, and the training-data operators:
+dedup / similarity / text analysis).  For the parse-surface checks the
+input lines are synthesized *inside the query* from the driver's
+``events`` table with deterministic SQL-expressible rules, so the DuckDB
+oracle can compute the expected parse output directly from the source
+columns while Spark runs the real parser UDF — making the parser itself
+oracle-gated, not just the relational ops.
+
+Column names are aliased identically on both sides (driver hashes after
+sorting columns by name).  Float-valued aggregates are integerized
+(cast(x*100 as bigint)) so cross-engine value hashes are exact.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pysyslog.dedup import exact_dedup, minhash_signatures
+from pysyslog.enrich import enrich
+from pysyslog.gen import GEN_NOW_EPOCH
+from pysyslog.multiline import reassemble
+from pysyslog.options import ParserOptions
+from pysyslog.parser import parse_syslog
+from pysyslog.similarity import brute_force_topk
+from pysyslog.tables import INT_FACILITY, INT_PRIORITY
+from pysyslog.textops import (
+    STOPWORDS,
+    with_lang_id,
+    with_md5_fingerprint,
+    with_quality_score,
+    with_token_stats,
+)
+
+OPTS = ParserOptions(
+    now_epoch=GEN_NOW_EPOCH,
+    auto_detect_json=True,
+    auto_detect_key_values=True,
+)
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# synthesized syslog lines from `events` (SQL-derivable ground truth)
+# --------------------------------------------------------------------------
+
+def _pri_lines(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    pri = (F.col("event_id") % 192).cast("int")
+    line = F.concat(
+        F.lit("<"), pri.cast("string"), F.lit(">Jun  1 12:00:00 host"),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit(" prog"), (F.col("event_id") % 10).cast("string"),
+        F.lit("["), F.col("event_id").cast("string"), F.lit("]: msg "),
+        F.col("event_type"),
+    )
+    return ev.select("event_id", line.alias("raw"))
+
+
+def q_parse_pri(spark, sf_dir):
+    df = parse_syslog(_pri_lines(spark, sf_dir), "raw", OPTS)
+    return df.select(
+        "event_id",
+        F.col("preamble"),
+        F.col("priority_int"),
+        F.col("facility_int"),
+        F.col("priority"),
+        F.col("facility"),
+        F.col("host"),
+        F.col("program_name"),
+        F.col("program_pid").cast("long").alias("program_pid"),
+        F.col("content"),
+    )
+
+
+def q_parse_iso_time(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    line = F.concat(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss+00:00"),
+        F.lit(" host"), (F.col("user_id") % 50).cast("string"),
+        F.lit(" app[7]: event "), F.col("event_type"),
+    )
+    parsed = parse_syslog(ev.select("event_id", line.alias("raw")), "raw", OPTS)
+    return parsed.select(
+        "event_id", "date", "time", "tz", "epoch", "datetime_utc",
+    )
+
+
+def q_parse_kv(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    line = F.concat(
+        F.lit("Jun  1 12:00:00 host1 app: audit user=u"),
+        (F.col("user_id")).cast("string"),
+        F.lit(" type="), F.col("event_type"),
+        F.lit(" cents="), cents.cast("string"),
+    )
+    parsed = parse_syslog(ev.select("event_id", line.alias("raw")), "raw", OPTS)
+    return parsed.select(
+        "event_id",
+        parsed["sdata"]["user"].alias("kv_user"),
+        parsed["sdata"]["type"].alias("kv_type"),
+        parsed["sdata"]["cents"].cast("long").alias("kv_cents"),
+    )
+
+
+def q_multiline_reassembly(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat(F.lit("f"), (F.col("user_id") % 4).cast("string")).alias("source"),
+        F.col("event_id").alias("line_no"),
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.concat(F.lit("  cont "), F.col("event_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("Jun  1 12:00:00 h"), (F.col("user_id") % 9).cast("string"),
+                F.lit(" prog: m"), F.col("event_id").cast("string"),
+            )
+        )
+        .alias("line"),
+    )
+    return reassemble(lines).select("source", "record_no", "raw")
+
+
+# --------------------------------------------------------------------------
+# engine relational ops
+# --------------------------------------------------------------------------
+
+def q_enrich_broadcast(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    sev = spark.createDataFrame(
+        sorted((v, k) for k, v in INT_PRIORITY.items()),
+        "sev_int int, severity_name string",
+    )
+    return (
+        ev.join(F.broadcast(sev), (F.col("event_id") % 8).cast("int") == F.col("sev_int"))
+        .groupBy("severity_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+
+
+def q_agg_hourly(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+
+
+def q_agg_salted(spark, sf_dir):
+    """Two-stage salted aggregation — result must equal a plain GROUP BY."""
+    ev = _read(spark, sf_dir, "events")
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(16))
+    stage1 = (
+        ev.withColumn("__salt", salt)
+        .groupBy("user_id", "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("pc"),
+        )
+    )
+    return stage1.groupBy("user_id").agg(
+        F.sum("pn").alias("n"), F.sum("pc").alias("value_cents")
+    )
+
+
+def q_route_matrix(spark, sf_dir):
+    """Routing fan-out matrix: counts per (event_type, severity bucket)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.withColumn("severity_bucket", (F.col("event_id") % 8).cast("int"))
+        .groupBy("event_type", "severity_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_topk_event_types(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.col("event_type"))
+    return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+def q_tpch_pricing_summary(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("sum_base_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_tpch_nation_orders(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data ops: dedup / text / similarity
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("keep_id", "dup_count")
+
+
+def q_token_stats(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return with_token_stats(docs).select("doc_id", "n_words", "n_subwords", "n_chars_m")
+
+
+def q_quality_score(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return with_quality_score(docs).select(
+        "doc_id", "alpha_ratio", "stop_ratio", "quality_score"
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return with_lang_id(docs).select(
+        "doc_id", "lang_hits_en", "lang_hits_de", "lang_hits_fr", "lang_pred"
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return with_md5_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_signatures(docs, num_hashes=4).select(
+        "doc_id", "h0", "h1", "h2", "h3"
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_topk(emb, queries, k=5)
+    return top.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim6"), "rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# non-SQL-expressible ops (rows-only driver check)
+# --------------------------------------------------------------------------
+
+def q_minhash_near_dups(spark, sf_dir):
+    from pysyslog.dedup import minhash_near_dups
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_near_dups(docs, threshold=0.5)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    from pysyslog.dedup import simhash_near_dups
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, max_hamming=6)
+
+
+def q_syslog_pipeline(spark, sf_dir):
+    """Full engine slice on the synthesized corpus: tokens → detokenize
+    → parse → enrich → hourly facility×severity aggregate."""
+    from pysyslog.aggregate import hourly_facility_severity_counts
+    from pysyslog.gen import gen_tokens_df
+    from pysyslog.pipeline import transform
+
+    tokens = gen_tokens_df(spark, 6000)
+    return hourly_facility_severity_counts(transform(tokens, OPTS)).orderBy(
+        "facility_name", "severity_name", "hour"
+    )
+
+
+# --------------------------------------------------------------------------
+# driver API
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: parse→enrich→aggregate over lines synthesized from the
+    sf0.001 events table (driver smoke check)."""
+    sf_dir = "/root/testdata/sf0.001"
+    lines = _pri_lines(spark, sf_dir)
+    parsed = parse_syslog(lines, "raw", OPTS)
+    enriched = enrich(parsed)
+    return (
+        enriched.groupBy("facility_name", "severity_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("facility_name", "severity_name")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "parse_pri": q_parse_pri,
+        "parse_iso_time": q_parse_iso_time,
+        "parse_kv": q_parse_kv,
+        "multiline_reassembly": q_multiline_reassembly,
+        "enrich_broadcast": q_enrich_broadcast,
+        "agg_hourly": q_agg_hourly,
+        "agg_salted": q_agg_salted,
+        "route_matrix": q_route_matrix,
+        "topk_event_types": q_topk_event_types,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "tpch_nation_orders": q_tpch_nation_orders,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "minhash_signatures": q_minhash_signatures,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        # rows-only (no oracle): LSH pipelines + full syslog slice
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "syslog_pipeline": q_syslog_pipeline,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _sev_case(expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {v} THEN '{k}'" for k, v in sorted(INT_PRIORITY.items(), key=lambda x: x[1])
+    )
+    return f"CASE ({expr}) {whens} END"
+
+
+def _fac_case(expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {v} THEN '{k}'" for k, v in sorted(INT_FACILITY.items(), key=lambda x: x[1])
+    )
+    return f"CASE ({expr}) {whens} END"
+
+
+_SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in STOPWORDS.items()}
+
+_NORM_DOC = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_WORDS_DOC = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_SHINGLES = (
+    f"list_transform(range(1, greatest(len({_WORDS_DOC}) - 2, 1) + 1), "
+    f"i -> concat_ws(' ', {_WORDS_DOC}[i], {_WORDS_DOC}[i+1], {_WORDS_DOC}[i+2]))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pri = "(event_id % 192)"
+    return {
+        "parse_pri": f"""
+            SELECT event_id,
+                   {pri}::int AS preamble,
+                   ({pri} % 8)::int AS priority_int,
+                   ({pri} // 8 * 8)::int AS facility_int,
+                   {_sev_case(f"{pri} % 8")} AS priority,
+                   {_fac_case(f"{pri} // 8 * 8")} AS facility,
+                   'host' || (user_id % 50)::varchar AS host,
+                   'prog' || (event_id % 10)::varchar AS program_name,
+                   event_id AS program_pid,
+                   'msg ' || event_type AS content
+            FROM events
+        """,
+        "parse_iso_time": """
+            SELECT event_id,
+                   strftime(ts, '%Y-%m-%d') AS date,
+                   strftime(ts, '%H:%M:%S') AS time,
+                   'Z' AS tz,
+                   epoch(date_trunc('second', ts))::bigint::varchar AS epoch,
+                   strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS datetime_utc
+            FROM events
+        """,
+        "parse_kv": """
+            SELECT event_id,
+                   'u' || user_id::varchar AS kv_user,
+                   event_type AS kv_type,
+                   floor(value * 100)::bigint AS kv_cents
+            FROM events
+        """,
+        "multiline_reassembly": """
+            WITH lines AS (
+                SELECT 'f' || (user_id % 4)::varchar AS source,
+                       event_id AS line_no,
+                       CASE WHEN event_id % 5 = 0
+                            THEN '  cont ' || event_id::varchar
+                            ELSE 'Jun  1 12:00:00 h' || (user_id % 9)::varchar
+                                 || ' prog: m' || event_id::varchar
+                       END AS line
+                FROM events
+            ), grouped AS (
+                SELECT source, line, line_no,
+                       sum(CASE WHEN line NOT SIMILAR TO '\\s.*' THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY source ORDER BY line_no) AS grp
+                FROM lines
+            )
+            SELECT source, grp AS record_no,
+                   string_agg(line, chr(10) ORDER BY line_no) AS raw
+            FROM grouped WHERE grp > 0
+            GROUP BY source, grp
+        """,
+        "enrich_broadcast": f"""
+            SELECT {_sev_case("event_id % 8")} AS severity_name,
+                   count(*) AS n,
+                   sum(floor(value * 100)::bigint) AS value_cents
+            FROM events GROUP BY 1
+        """,
+        "agg_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n, sum(floor(value * 100)::bigint) AS value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "agg_salted": """
+            SELECT user_id, count(*) AS n, sum(floor(value * 100)::bigint) AS value_cents
+            FROM events GROUP BY 1
+        """,
+        "route_matrix": """
+            SELECT event_type, (event_id % 8)::int AS severity_bucket, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "topk_event_types": """
+            SELECT event_type, n, row_number() OVER (ORDER BY n DESC, event_type) AS rank
+            FROM (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
+            QUALIFY rank <= 5
+        """,
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity::bigint) AS sum_qty,
+                   sum(floor(l_extendedprice * 100)::bigint) AS sum_base_cents,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= '1998-09-02'
+            GROUP BY 1, 2
+        """,
+        "tpch_nation_orders": """
+            SELECT n_name, count(*) AS n_orders,
+                   sum(floor(o_totalprice * 100)::bigint) AS total_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "dedup_exact": f"""
+            SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+            FROM documents GROUP BY md5({_NORM_DOC})
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   len({_WORDS_DOC})::int AS n_words,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::int AS n_subwords,
+                   length(text)::int AS n_chars_m
+            FROM documents
+        """,
+        "quality_score": f"""
+            SELECT doc_id,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         / greatest(length(text), 1), 6) AS alpha_ratio,
+                   round(len(list_filter({_WORDS_DOC}, x -> x IN ({_SW['en']})))
+                         / greatest(len({_WORDS_DOC}), 1), 6) AS stop_ratio,
+                   round(
+                     least(len({_WORDS_DOC}) / 50.0, 1.0) * 0.25
+                     + (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        / greatest(length(text), 1)) * 0.25
+                     + least(len(list_filter({_WORDS_DOC}, x -> x IN ({_SW['en']})))
+                             / greatest(len({_WORDS_DOC}), 1) * 4.0, 1.0) * 0.25
+                     + CASE WHEN length(text) / greatest(len({_WORDS_DOC}), 1)
+                                 BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END,
+                   6) AS quality_score
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH h AS (
+                SELECT doc_id,
+                       len(list_filter({_WORDS_DOC}, x -> x IN ({_SW['en']})))::int AS lang_hits_en,
+                       len(list_filter({_WORDS_DOC}, x -> x IN ({_SW['de']})))::int AS lang_hits_de,
+                       len(list_filter({_WORDS_DOC}, x -> x IN ({_SW['fr']})))::int AS lang_hits_fr
+                FROM documents
+            )
+            SELECT doc_id, lang_hits_en, lang_hits_de, lang_hits_fr,
+                   CASE WHEN lang_hits_en = 0 AND lang_hits_de = 0 AND lang_hits_fr = 0 THEN 'und'
+                        WHEN lang_hits_en >= lang_hits_de AND lang_hits_en >= lang_hits_fr THEN 'en'
+                        WHEN lang_hits_de >= lang_hits_fr THEN 'de'
+                        ELSE 'fr' END AS lang_pred
+            FROM h
+        """,
+        "fingerprint": f"""
+            SELECT doc_id, md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "minhash_signatures": f"""
+            WITH ex AS (
+                SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents
+            )
+            SELECT doc_id,
+                   min(md5(sh || '#0')) AS h0,
+                   min(md5(sh || '#1')) AS h1,
+                   min(md5(sh || '#2')) AS h2,
+                   min(md5(sh || '#3')) AS h3
+            FROM ex GROUP BY doc_id
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding::DOUBLE[],
+                                              q.qv::DOUBLE[]) AS cos_sim
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim6,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM scored QUALIFY rank <= 5
+        """,
+    }

@@ -1,0 +1,199 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale notes (these run over 100 TB document sets):
+* exact dedup is a single hash-shuffle on a 32-byte digest — the
+  minimal possible exact plan;
+* MinHash signatures are computed with ONE shuffle (explode shingles →
+  groupBy doc → k mins as independent aggregates); LSH banding turns
+  the O(n²) pair space into per-bucket joins, and every join key is a
+  digest (uniform, no skew);
+* digests use md5 (JVM-side, also available in DuckDB) so the oracle
+  can replay the exact same signatures;
+* SimHash is an Arrow-batched pandas UDF (bit-twiddling is cheaper in
+  numpy than in SQL).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+NORM = lambda c: F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")  # noqa: E731
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One survivor (min id) per distinct normalized text + dup count."""
+    return (
+        df.withColumn("__h", F.md5(NORM(F.col(text_col))))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__h")
+    )
+
+
+def word_shingles(col, n: int = 3):
+    """Word n-gram shingles as an array column (built-in expressions)."""
+    words = F.split(NORM(col), " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 16, shingle_n: int = 3,
+) -> DataFrame:
+    """(id, h0..h{k-1}) MinHash signature via one explode+groupBy.
+    hash_i(s) = md5(s || '#i'); min taken lexicographically on the hex
+    digest — identical in the DuckDB oracle."""
+    ex = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id",
+    bands: int = 4, rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs.
+    Output: (id_a, id_b) with id_a < id_b, distinct."""
+    sig_cols = [c for c in signatures.columns if c != id_col]
+    assert len(sig_cols) >= bands * rows_per_band
+    band_rows = []
+    for b in range(bands):
+        cols = sig_cols[b * rows_per_band:(b + 1) * rows_per_band]
+        band_rows.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    banded = band_rows[0]
+    for extra in band_rows[1:]:
+        banded = banded.unionByName(extra)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification
+    stage after LSH).  Shingle arrays are bounded by document length,
+    so the join rows stay small at scale."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "id_a", "id_b",
+        (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    threshold: float = 0.7, num_hashes: int = 16,
+    bands: int = 4, rows_per_band: int = 4,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → verified
+    Jaccard ≥ threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    return jaccard_pairs(df, cands, text_col, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash_udf(bits: int = 64):
+    """64-bit SimHash over whitespace tokens (vectorized numpy inner
+    loop, Arrow-batched)."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    def one(text: str) -> int | None:
+        if text is None:
+            return None
+        toks = text.lower().split()
+        if not toks:
+            return 0
+        acc = np.zeros(bits, dtype=np.int64)
+        shifts = np.arange(bits, dtype=np.uint64)
+        for t in toks:
+            h = np.uint64(
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            )
+            bitsarr = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+            acc += bitsarr * 2 - 1
+        v = 0
+        for i in range(bits):
+            if acc[i] > 0:
+                v |= 1 << i
+        return v - (1 << 63) if v >= (1 << 63) else v  # signed 64
+
+    @pandas_udf(LongType())
+    def sim(texts: pd.Series) -> pd.Series:
+        return texts.map(one).astype("Int64")
+
+    return sim
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dups: band the 64-bit hash into 4×16-bit chunks —
+    any pair within hamming ≤ 3 shares at least one exact chunk
+    (pigeonhole) — then verify hamming distance on candidates."""
+    simmed = df.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("sh"))
+    chunks = []
+    for i in range(4):
+        chunk = F.shiftrightunsigned(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF))
+        chunks.append(simmed.select(id_col, F.lit(i).alias("ci"), chunk.alias("cv")))
+    banded = chunks[0]
+    for c in chunks[1:]:
+        banded = banded.unionByName(c)
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.ci") == F.col("b.ci")) & (F.col("a.cv") == F.col("b.cv"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = simmed.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
+    sb = simmed.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute_force_topk — exact cosine top-k: the query set is broadcast
+  (small), the corpus side streams; the dot product is a built-in
+  zip_with/aggregate expression (JVM-side), ranking is a bounded
+  window.  This is the correctness baseline and the oracle-checked op.
+* lsh_topk — random-hyperplane LSH: deterministic hash-derived planes
+  give each vector a b-bit signature; candidates come from matching
+  signature buckets (with multi-probe on the query side), then exact
+  cosine re-ranks.  The scale path: bucket join instead of full cross
+  product.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _norm(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k of corpus rows per query row.
+
+    queries: (query_id, embedding).  Plan: broadcast queries → cross
+    join (corpus streams once) → JVM cosine → per-query top-k window.
+    Ties broken by id for determinism.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _plane(dim: int, p: int, seed: int = 42):
+    """Deterministic pseudo-random hyperplane: component j of plane p is
+    a hash-derived value in [-1, 1) — stateless, identical on every
+    executor and in any re-run."""
+    import numpy as np
+
+    j = np.arange(dim, dtype=np.uint64)
+    x = (j + np.uint64(p * 0x9E3779B9) + np.uint64(seed)) * np.uint64(0x2545F4914F6CDD1D)
+    x ^= x >> np.uint64(29)
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return (x.astype(np.float64) / 2**63) - 1.0
+
+
+def signature_udf(dim: int, n_planes: int = 12, seed: int = 42):
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    planes = np.stack([_plane(dim, p, seed) for p in range(n_planes)])  # (b, d)
+
+    @pandas_udf(IntegerType())
+    def sig(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (n, d)
+        bits = (mat @ planes.T) > 0  # (n, b)
+        out = np.zeros(len(mat), dtype=np.int64)
+        for i in range(planes.shape[0]):
+            out |= bits[:, i].astype(np.int64) << i
+        return pd.Series(out.astype("int32"))
+
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
+    n_planes: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: signature-bucket candidates (query probes its
+    own bucket plus all 1-bit-flip neighbors), exact cosine re-rank."""
+    sig = signature_udf(dim, n_planes)
+    c = corpus.withColumn("__sig", sig(F.col(vec_col)))
+    q = queries.withColumn("__sig", sig(F.col(vec_col)))
+    probes = F.array(
+        F.col("__sig"), *[
+            F.col("__sig").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+        ]
+    )
+    q_probed = q.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probes).alias("__sig"),
+    )
+    cand = c.join(F.broadcast(q_probed), "__sig").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
+    ).dropDuplicates([query_id_col, id_col])
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame, threshold: float = 0.95, dim: int = 64,
+    n_planes: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via signature buckets + exact
+    verification (cos ≥ threshold)."""
+    sig = signature_udf(dim, n_planes)
+    s = corpus.withColumn("__sig", sig(F.col(vec_col)))
+    a = s.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "__sig")
+    b = s.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "__sig")
+    return (
+        a.join(b, "__sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

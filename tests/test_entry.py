@@ -1,0 +1,88 @@
+"""Local mirror of the driver's correctness gate: every queries() entry
+vs its DuckDB oracle_sql() on the same parquet tables (row count +
+order-insensitive value comparison after sorting columns by name)."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import importlib.util
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("PSL_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+spec = importlib.util.spec_from_file_location(
+    "spark_entry", os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+)
+entry_mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(entry_mod)
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return str(v)
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, int):
+        return str(v)
+    return str(v)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    con = _duck(SF_DIR)
+    res = con.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row counts {len(srows)} vs {len(drows)}"
+    got = _rowset(scols, [[r[c] for c in scols] for r in srows])
+    want = _rowset(dcols, drows)
+    mismatches = [(g, w) for g, w in zip(got, want) if g != w][:5]
+    assert got == want, f"{name}: first mismatches {mismatches}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"facility_name", "severity_name", "n"} <= set(df.columns)
