@@ -290,24 +290,37 @@ class SyslogParser:
 
     def _render_datetime(self, msg: dict, epoch_ns: int, offset_min: int):
         """⇔ Line.pm:812-817: epoch (%s%f), datetime_utc/local/str
-        (%FT%T%f%z with +0000→Z rewrite), tz (%z with +0000→Z)."""
+        (%FT%T%f%z with +0000→Z rewrite), tz (%z with +0000→Z).
+
+        The +0000→Z rewrite is folded into the formatter (an offset of
+        exactly 0 is the only case the regexes can hit), and identical
+        offsets share one rendered string — in the common case (UTC
+        default tz, offset-less message) all three fields are the same
+        string, built once.
+        """
         sec, frac_ns = divmod(epoch_ns, NS)
-        msg["epoch"] = f"{sec}{_frac_str(frac_ns)}"
-        msg["datetime_utc"] = RE_UTC_SUFFIX.sub("Z", self._fmt_iso(epoch_ns, 0))
-        msg["datetime_local"] = RE_UTC_SUFFIX.sub(
-            "Z", self._fmt_iso(epoch_ns, self.local_offset_min)
+        msg["epoch"] = f"{sec}{_frac_str(frac_ns)}" if frac_ns else str(sec)
+        utc = self._fmt_iso(epoch_ns, 0)
+        msg["datetime_utc"] = utc
+        lo = self.local_offset_min
+        local = utc if lo == 0 else self._fmt_iso(epoch_ns, lo)
+        msg["datetime_local"] = local
+        msg["datetime_str"] = (
+            utc if offset_min == 0
+            else local if offset_min == lo
+            else self._fmt_iso(epoch_ns, offset_min)
         )
-        msg["datetime_str"] = RE_UTC_SUFFIX.sub("Z", self._fmt_iso(epoch_ns, offset_min))
-        msg["tz"] = RE_UTC_ANY.sub("Z", _off_str(offset_min))
+        msg["tz"] = "Z" if offset_min == 0 else _off_str(offset_min)
 
     @staticmethod
     def _fmt_iso(epoch_ns: int, offset_min: int) -> str:
         shifted_sec, frac_ns = divmod(epoch_ns, NS)
         dt = datetime.fromtimestamp(shifted_sec + offset_min * 60, tz=timezone.utc)
+        off = "Z" if offset_min == 0 else _off_str(offset_min)
         return (
             f"{dt.year:04d}-{dt.month:02d}-{dt.day:02d}"
             f"T{dt.hour:02d}:{dt.minute:02d}:{dt.second:02d}"
-            f"{_frac_str(frac_ns)}{_off_str(offset_min)}"
+            f"{_frac_str(frac_ns)}{off}"
         )
 
     def _parse_bsd_datetime(self, g) -> tuple[int, int] | None:

@@ -94,7 +94,9 @@ def run_pipeline(
                 ~(F.col("tokens") == F.col("tokens_rt"))
             ).count()
 
-        enriched = enriched.persist()
+        # tokens/message_raw are dead weight downstream (raw carries the
+        # line for routed-row checks); dropping them halves cache bytes
+        enriched = enriched.drop("tokens", "message_raw").persist()
         m["rows_in"] = enriched.count()
         m["parse_no_ts"] = enriched.filter(F.col("ts").isNull()).count()
         route_by_facility_severity(

@@ -1,0 +1,81 @@
+"""Dedup operators: exact, MinHash+LSH near-dups, SimHash."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pysyslog.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_near_dups,
+    minhash_signatures,
+    simhash_near_dups,
+    word_shingles,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat"),          # near dup of 0
+    (3, "completely different text about spark query engines"),
+    (4, "  The  QUICK brown fox jumps over the lazy dog  "),     # ws/case dup of 0
+    (5, "row stores and column stores differ in layout"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = {r["keep_id"]: r["dup_count"] for r in exact_dedup(_df(spark)).collect()}
+    assert out[0] == 3  # 0, 1, 4 collapse after normalization
+    assert out[2] == 1 and out[3] == 1 and out[5] == 1
+    assert 1 not in out and 4 not in out
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+    row = df.select(word_shingles(F.col("text")).alias("s")).collect()[0]
+    assert row["s"] == ["only two"]  # shorter than n -> single shingle
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    sigs = {r["doc_id"]: (r["h0"], r["h1"]) for r in
+            minhash_signatures(_df(spark), num_hashes=2).collect()}
+    assert sigs[0] == sigs[1] == sigs[4]
+    assert sigs[0] != sigs[3]
+
+
+def test_minhash_near_dups_finds_near_pair(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             minhash_near_dups(_df(spark), threshold=0.4).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 4) in pairs and pairs[(0, 4)] == 1.0
+    assert (0, 2) in pairs and 0.4 <= pairs[(0, 2)] < 1.0
+    assert not any({a, b} == {0, 3} for a, b in pairs)
+
+
+def test_jaccard_pairs_values(spark):
+    pairs = spark.createDataFrame([(0, 2)], "id_a long, id_b long")
+    j = jaccard_pairs(_df(spark), pairs).collect()[0]["jaccard"]
+    # 7 shingles each, 6 shared -> 6/8
+    assert abs(j - 6 / 8) < 1e-9
+
+
+def test_lsh_no_false_candidate_explosion(spark):
+    sigs = minhash_signatures(_df(spark), num_hashes=16)
+    cands = lsh_candidate_pairs(sigs).collect()
+    ids = {frozenset((r["id_a"], r["id_b"])) for r in cands}
+    assert frozenset((0, 1)) in ids
+    assert frozenset((3, 5)) not in ids
+
+
+def test_simhash_near_dups(spark):
+    pairs = {frozenset((r["id_a"], r["id_b"])): r["hamming"] for r in
+             simhash_near_dups(_df(spark), max_hamming=10).collect()}
+    assert pairs[frozenset((0, 1))] == 0
+    assert pairs[frozenset((0, 4))] == 0
+    assert frozenset((0, 2)) in pairs  # one word differs -> small hamming
+    assert frozenset((0, 3)) not in pairs

@@ -1,0 +1,92 @@
+"""Similarity search: exact top-k baseline, LSH recall, near-dup pairs."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pysyslog.similarity import (
+    brute_force_topk,
+    cosine,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+
+DIM = 16
+
+
+def _vecs(n, seed=7):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, DIM))
+    return [(i, [float(x) for x in v[i]]) for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        _vecs(200), "vec_id long, embedding array<double>"
+    ).cache()
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], "a array<double>, b array<double>"
+    )
+    got = [r["c"] for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert abs(got[0]) < 1e-12 and abs(got[1] - 1.0) < 1e-12
+
+
+def test_brute_force_topk_matches_numpy(spark, corpus):
+    rows = _vecs(200)
+    mat = np.array([r[1] for r in rows])
+    qi = 3
+    sims = mat @ mat[qi] / (np.linalg.norm(mat, axis=1) * np.linalg.norm(mat[qi]))
+    want = sorted(range(200), key=lambda i: (-sims[i], i))[:5]
+
+    queries = corpus.filter(F.col("vec_id") == qi).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = [
+        r["vec_id"]
+        for r in brute_force_topk(corpus, queries, k=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_lsh_topk_recall(spark, corpus):
+    queries = corpus.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(corpus, queries, k=5).collect()
+    approx = lsh_topk(corpus, queries, k=5, dim=DIM, n_planes=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # query itself is always in its own bucket; demand reasonable recall
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 5 for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4
+    for q in exact_sets:
+        assert q in approx_sets.get(q, set())  # self always found
+
+
+def test_embedding_near_dup_pairs(spark):
+    base = _vecs(50)
+    # vec 50 = tiny perturbation of vec 0 -> cosine ~1
+    near = [float(x) + 1e-4 for x in base[0][1]]
+    rows = base + [(50, near)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_dup_pairs(df, threshold=0.99, dim=DIM, n_planes=8).collect()
+    }
+    assert (0, 50) in pairs and pairs[(0, 50)] > 0.999
