@@ -36,9 +36,11 @@ def word_shingles(col, n: int = 3):
     """Word n-gram shingles as an array column (built-in expressions)."""
     words = F.split(NORM(col), " ")
     k = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    # F.get returns NULL past the end (ANSI-safe, unlike element_at) and
+    # concat_ws skips NULLs, so docs shorter than n yield one short shingle
     return F.transform(
         F.sequence(F.lit(0), k - 1),
-        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
+        lambda i: F.concat_ws(" ", *[F.get(words, (i + j).cast("int")) for j in range(n)]),
     )
 
 
