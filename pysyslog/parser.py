@@ -92,31 +92,32 @@ def _epoch_us(epoch_str) -> int | None:
         return None
 
 
+def _field_value(msg: dict, f: str, emit_parsed_json: bool):
+    if f in _INT_FIELDS:
+        v = msg.get(f)
+        return v if isinstance(v, int) and not isinstance(v, bool) else None
+    if f == "epoch_us":
+        return _epoch_us(msg.get("epoch"))
+    if f == "sdata":
+        sdata = msg.get("SDATA")
+        return _flatten_sdata(sdata) if isinstance(sdata, dict) else None
+    if f == "sdata_json":
+        sdata = msg.get("SDATA")
+        return (
+            json.dumps(canon(sdata), sort_keys=True, ensure_ascii=False,
+                       separators=(",", ":"))
+            if sdata is not None
+            else None
+        )
+    if f == "parsed_json":
+        return canonical_json(msg) if emit_parsed_json else None
+    v = msg.get(f)
+    return str(v) if v is not None and not isinstance(v, str) else v
+
+
 def record_to_row(msg: dict, emit_parsed_json: bool = False) -> tuple:
     """Parsed record dict -> tuple aligned with SYSLOG_SCHEMA."""
-    sdata = msg.get("SDATA")
-    row = []
-    for f in FIELD_NAMES:
-        if f in _INT_FIELDS:
-            v = msg.get(f)
-            row.append(v if isinstance(v, int) and not isinstance(v, bool) else None)
-        elif f == "epoch_us":
-            row.append(_epoch_us(msg.get("epoch")))
-        elif f == "sdata":
-            row.append(_flatten_sdata(sdata) if isinstance(sdata, dict) else None)
-        elif f == "sdata_json":
-            row.append(
-                json.dumps(canon(sdata), sort_keys=True, ensure_ascii=False,
-                           separators=(",", ":"))
-                if sdata is not None
-                else None
-            )
-        elif f == "parsed_json":
-            row.append(canonical_json(msg) if emit_parsed_json else None)
-        else:
-            v = msg.get(f)
-            row.append(str(v) if v is not None and not isinstance(v, str) else v)
-    return tuple(row)
+    return tuple(_field_value(msg, f, emit_parsed_json) for f in FIELD_NAMES)
 
 
 # Per-worker parser cache: one compiled SyslogParser per options tuple,
@@ -143,17 +144,35 @@ def make_parse_udf(options: ParserOptions, emit_parsed_json: bool = False):
             "(wall-clock reads inside tasks break retry determinism)"
         )
 
+    # Hot-path field layout: the handful of special fields get explicit
+    # slots; everything else is a plain dict get.  Columns accumulate
+    # into per-field lists (pd.DataFrame(dict-of-lists) avoids the
+    # row-tuple zip the list-of-tuples constructor pays).
+    plain_fields = [
+        f
+        for f in FIELD_NAMES
+        if f not in _INT_FIELDS
+        and f not in ("epoch_us", "sdata", "sdata_json", "parsed_json")
+    ]
+    special = [f for f in FIELD_NAMES if f not in plain_fields]
+
     @pandas_udf(SYSLOG_SCHEMA)
     def parse_udf(raw: pd.Series) -> pd.DataFrame:
         parser = _get_parser(options)
-        null_row = (None,) * len(FIELD_NAMES)
-        rows = [
-            record_to_row(parser.parse(s), emit_parsed_json)
-            if s is not None
-            else null_row
-            for s in raw
-        ]
-        return pd.DataFrame(rows, columns=FIELD_NAMES)
+        parse = parser.parse
+        cols: dict[str, list] = {f: [] for f in FIELD_NAMES}
+        plain_appends = [(f, cols[f].append) for f in plain_fields]
+        special_appends = [(f, cols[f].append) for f in special]
+        null_msg: dict = {}
+        for s in raw:
+            msg = parse(s) if s is not None else null_msg
+            get = msg.get
+            for f, append in plain_appends:
+                v = get(f)
+                append(str(v) if v is not None and not isinstance(v, str) else v)
+            for f, append in special_appends:
+                append(_field_value(msg, f, emit_parsed_json))
+        return pd.DataFrame(cols, columns=FIELD_NAMES)
 
     return parse_udf
 

@@ -1,0 +1,45 @@
+"""CLI driver (⇔ bin/parse-syslog-line.pl): stdin mode + flag mapping."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+
+def run_cli(args, stdin_text):
+    return subprocess.run(
+        [sys.executable, "-m", "pysyslog.cli", "--stdin", "--now", "1543622400", *args],
+        input=stdin_text,
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+
+
+def test_stdin_json():
+    r = run_cli([], "May 19 22:03:29 janus sshd[10173]: hello\n")
+    assert r.returncode == 0, r.stderr
+    msg = json.loads(r.stdout.strip())
+    assert msg["program_name"] == "sshd"
+    assert msg["epoch"] == "1526767409"
+    assert msg["host"] == "janus"
+
+
+def test_stdin_flags():
+    r = run_cli(
+        ["--kv-detect", "--prune-raw", "--prune-empty"],
+        "May 19 22:03:29 janus app: a=1 b=two\n",
+    )
+    msg = json.loads(r.stdout.strip())
+    assert msg["SDATA"] == {"a": "1", "b": "two"}
+    assert not [k for k in msg if k.endswith("_raw")]
+    assert None not in msg.values()
+
+
+def test_stdin_no_program():
+    r = run_cli(["--no-program"], "May 19 22:03:29 janus sshd[1]: hello\n")
+    msg = json.loads(r.stdout.strip())
+    assert "program_name" not in msg
+    assert msg["content"] == "sshd[1]: hello"
