@@ -1,0 +1,71 @@
+"""Physical-plan shape assertions: the properties that matter at 100 TB
+(pushdown reaching the scan, broadcast joins for dims, single Python
+boundary) must not regress silently."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pysyslog.enrich import enrich
+from pysyslog.gen import GEN_NOW_EPOCH
+from pysyslog.options import ParserOptions
+from pysyslog.parser import parse_syslog
+
+SF_DIR = "/root/testdata/sf0.001"
+OPTS = ParserOptions(now_epoch=GEN_NOW_EPOCH)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_filter_pushdown(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    q = ev.filter(F.col("event_type") == "error").select("event_id", "value")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)" in plan, plan
+
+
+def test_parquet_column_pruning(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    q = ev.select("event_id", "event_type")
+    plan = _plan(q)
+    assert "ReadSchema: struct<event_id:bigint,event_type:string>" in plan, plan
+
+
+def test_enrich_uses_broadcast_joins_only(spark):
+    df = spark.createDataFrame([("May 19 22:03:29 h p: x",)], "raw string")
+    e = enrich(parse_syslog(df, "raw", OPTS))
+    plan = _plan(e)
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
+
+
+def test_aggregate_is_partial_final(spark):
+    """facility×severity agg must map-side combine (two HashAggregates
+    around one shuffle), never shuffle raw rows."""
+    from pysyslog.aggregate import sink_counts
+
+    df = spark.createDataFrame([("May 19 22:03:29 h p: x",)], "raw string")
+    e = enrich(parse_syslog(df, "raw", OPTS))
+    plan = _plan(sink_counts(e))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_tokens_column_prunes_through_udf_projection(spark):
+    """Selecting one parsed field must not force the scan to read other
+    table columns (UDF input column excepted)."""
+    rows = [("d0", [104, 105], 2, "t")]
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    ).write.mode("overwrite").parquet(d)
+    from pysyslog.tokens import detokenize
+
+    df = detokenize(spark.read.parquet(d))
+    out = parse_syslog(df, "raw", OPTS).select("program_name")
+    plan = _plan(out)
+    assert "n_tok" not in plan.split("ReadSchema")[-1], plan
