@@ -44,10 +44,13 @@ def make_spark(cpus: int):
     )
 
 
-def pipeline_run(spark, n_rows: int, out_dir: str) -> dict:
-    """One end-to-end pass; returns stage timings + lines/sec."""
-    from pyspark.sql import functions as F
+def pipeline_run(spark, n_rows: int, out_dir: str, warmup: bool = True) -> dict:
+    """One end-to-end pass; returns stage timings + lines/sec.
 
+    A warmup pass on a 5% slice runs first (not timed): it JIT-compiles
+    the JVM paths and spins up the Python workers, so the timed pass
+    measures steady-state throughput — comparable across process-fresh
+    parallelism levels."""
     from pysyslog.aggregate import (
         hourly_facility_severity_counts,
         salted_counts,
@@ -69,6 +72,14 @@ def pipeline_run(spark, n_rows: int, out_dir: str) -> dict:
         corpus_path
     )
     tokens = spark.read.parquet(corpus_path)
+
+    if warmup:
+        w = transform(tokens.limit(max(n_rows // 20, 2000)), opts,
+                      parse_partitions=cpus).drop("tokens", "message_raw").persist()
+        w.count()
+        route_by_facility_severity(w, os.path.join(out_dir, "warmup"))
+        hourly_facility_severity_counts(w).count()
+        w.unpersist()
 
     t0 = time.time()
     enriched = (
@@ -129,11 +140,45 @@ def run_queries(spark) -> dict[str, float]:
     return out
 
 
+def config_matrix(n: int = 20000) -> dict[str, float]:
+    """Single-thread core-parser throughput across option presets
+    (⇔ the reference's benchmarks/01-parse.pl cmpthese matrix — the
+    option mix dominates parse cost there too)."""
+    import numpy as np
+
+    from pysyslog.gen import GEN_NOW_EPOCH, synth_lines
+    from pysyslog.options import ParserOptions
+    from pysyslog.parser_core import SyslogParser
+
+    base = ParserOptions(now_epoch=GEN_NOW_EPOCH)
+    presets = {
+        "defaults": base,
+        "no_dates": base.with_(date_parsing=False),
+        "no_program": base.with_(extract_program=False),
+        "no_rfc_sdata": base.with_(rfc5424_structured_data=False),
+        "strict_rfc": base.with_(rfc5424_strict=True),
+        "json": base.with_(auto_detect_json=True),
+        "kv": base.with_(auto_detect_key_values=True),
+        "all_sdata": base.with_(auto_detect_json=True, auto_detect_key_values=True),
+        "prune_empty": base.with_(prune_empty=True),
+    }
+    lines, _ = synth_lines(np.arange(n))
+    out = {}
+    for name, opts in presets.items():
+        p = SyslogParser(opts)
+        t0 = time.time()
+        for s in lines:
+            p.parse(s)
+        out[name] = round(n / (time.time() - t0), 1)
+    return out
+
+
 def main():
     from pysyslog.gen import rows_for_sf
 
     n_rows = rows_for_sf(SF)
     result: dict = {"sf": SF, "cpus": CPUS}
+    result["config_matrix_rows_per_sec_1core"] = config_matrix()
 
     tmp = tempfile.mkdtemp(prefix="pysyslog-bench-")
     try:
@@ -154,21 +199,37 @@ def main():
         )
 
         if os.environ.get("PSL_BENCH_SCALING") == "1":
+            # N vs 4N parallelism proxy for the two-cluster-size rule.
+            # Default window is local[2] -> local[8]: a raw-CPU probe on
+            # this sandbox shows the 32 advertised vCPUs deliver only
+            # ~1.5x the throughput of 8 (SMT/steal), so 8->32 measures
+            # the hypervisor, not the plan; 2->8 is real parallelism.
+            # each level runs in a FRESH python+JVM process so JIT warmth
+            # can't leak between levels (same-process reruns measured
+            # spuriously superlinear)
+            import subprocess
+
+            n_small = int(os.environ.get("PSL_BENCH_SCALE_N", "2"))
             scaling = {}
-            for cpus in (8, 32):
-                s = make_spark(cpus)
-                r = pipeline_run(s, n_rows, os.path.join(tmp, f"scale{cpus}"))
-                s.stop()
-                scaling[f"local[{cpus}]"] = r
-            eff = (
-                scaling["local[32]"]["lines_per_sec"]
-                / scaling["local[8]"]["lines_per_sec"]
-                / 4.0
-            )
+            for cpus in (n_small, n_small * 4):
+                out_json = os.path.join(tmp, f"scale{cpus}.json")
+                subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--scale-worker", str(cpus), str(n_rows),
+                     os.path.join(tmp, f"scale{cpus}"), out_json],
+                    check=True,
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL,
+                )
+                with open(out_json) as fh:
+                    scaling[f"local[{cpus}]"] = json.load(fh)
+            lo = scaling[f"local[{n_small}]"]["lines_per_sec"]
+            hi = scaling[f"local[{n_small * 4}]"]["lines_per_sec"]
             result["scaling"] = {
-                "throughput_local8": scaling["local[8]"]["lines_per_sec"],
-                "throughput_local32": scaling["local[32]"]["lines_per_sec"],
-                "efficiency_8_to_32": round(eff, 3),
+                "n": n_small,
+                "throughput_n": lo,
+                "throughput_4n": hi,
+                "efficiency_n_to_4n": round(hi / lo / 4.0, 3),
                 "detail": scaling,
             }
     finally:
@@ -177,5 +238,17 @@ def main():
     print(json.dumps(result))
 
 
+def _scale_worker(argv):
+    cpus, n_rows, out_dir, out_json = int(argv[0]), int(argv[1]), argv[2], argv[3]
+    spark = make_spark(cpus)
+    r = pipeline_run(spark, n_rows, out_dir)
+    spark.stop()
+    with open(out_json, "w") as fh:
+        json.dump(r, fh)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
+        _scale_worker(sys.argv[2:])
+    else:
+        main()
