@@ -132,9 +132,14 @@ def main(argv=None):
     ap.add_argument("--sf", type=float, default=0.001)
     ap.add_argument("--buckets", type=int, default=4)
     ap.add_argument("--now", type=float, default=None)
+    ap.add_argument("--cpus", type=int, default=None,
+                    help="local[] threads (default: existing session / local[*])")
     args = ap.parse_args(argv)
 
-    spark = SparkSession.builder.appName("pysyslog-pipeline").getOrCreate()
+    builder = SparkSession.builder.appName("pysyslog-pipeline")
+    if args.cpus:
+        builder = builder.master(f"local[{args.cpus}]")
+    spark = builder.getOrCreate()
     from .gen import GEN_NOW_EPOCH, gen_tokens_df, rows_for_sf
 
     if args.input:
