@@ -48,6 +48,9 @@ OPTS = ParserOptions(
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # pin the session timezone so timestamp truncation/rendering matches
+    # the (timezone-naive) DuckDB oracle regardless of driver defaults
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -177,6 +177,70 @@ def make_parse_udf(options: ParserOptions, emit_parsed_json: bool = False):
     return parse_udf
 
 
+def make_parse_tokens_udf(options: ParserOptions, emit_parsed_json: bool = False):
+    """Fused detokenize+parse UDF: tokens array<int32> -> parsed struct
+    (with the raw line as message_raw/raw inside the struct).  One
+    Python/Arrow boundary instead of two back-to-back ArrowEvalPython
+    nodes — at 10^12 rows the second crossing is pure waste."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    if options.now_epoch is None:
+        raise ValueError("options.now_epoch must be pinned (see make_parse_udf)")
+
+    schema = StructType(SYSLOG_SCHEMA.fields + [StructField("raw", StringType())])
+    field_names = FIELD_NAMES + ["raw"]
+    plain_fields = [
+        f
+        for f in FIELD_NAMES
+        if f not in _INT_FIELDS
+        and f not in ("epoch_us", "sdata", "sdata_json", "parsed_json")
+    ]
+    special = [f for f in FIELD_NAMES if f not in plain_fields]
+
+    @pandas_udf(schema)
+    def parse_tokens_udf(tokens: pd.Series) -> pd.DataFrame:
+        parser = _get_parser(options)
+        parse = parser.parse
+        cols: dict[str, list] = {f: [] for f in field_names}
+        plain_appends = [(f, cols[f].append) for f in plain_fields]
+        special_appends = [(f, cols[f].append) for f in special]
+        raw_append = cols["raw"].append
+        null_msg: dict = {}
+        for arr in tokens:
+            if arr is None:
+                s, msg = None, null_msg
+            else:
+                s = np.asarray(arr, dtype=np.uint8).tobytes().decode("utf-8", "strict")
+                msg = parse(s)
+            raw_append(s)
+            get = msg.get
+            for f, append in plain_appends:
+                v = get(f)
+                append(str(v) if v is not None and not isinstance(v, str) else v)
+            for f, append in special_appends:
+                append(_field_value(msg, f, emit_parsed_json))
+        return pd.DataFrame(cols, columns=field_names)
+
+    return parse_tokens_udf
+
+
+def parse_syslog_tokens(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    options: ParserOptions | None = None,
+    emit_parsed_json: bool = False,
+    struct_col: str = "syslog",
+) -> DataFrame:
+    """Fused scan-side operator: detokenize+parse in one Arrow crossing,
+    flattened, with the JVM-derived ts column (like parse_syslog)."""
+    options = options or ParserOptions()
+    udf = make_parse_tokens_udf(options, emit_parsed_json)
+    out = df.withColumn(struct_col, udf(F.col(tokens_col)))
+    out = out.select(*df.columns, f"{struct_col}.*")
+    return out.withColumn("ts", F.timestamp_micros(F.col("epoch_us")))
+
+
 def parse_syslog(
     df: DataFrame,
     raw_col: str | Column = "raw",

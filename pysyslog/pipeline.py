@@ -57,12 +57,15 @@ def transform(tokens_df: DataFrame, options: ParserOptions,
               parse_partitions: int | None = None,
               emit_parsed_json: bool = False) -> DataFrame:
     """The logical plan shared by batch pipeline, bench, and tests:
-    detokenize → parse → enrich.  Pure — no writes."""
+    (detokenize+parse fused into one Arrow crossing) → enrich.
+    Pure — no writes."""
+    from .parser import parse_syslog_tokens
+
     df = tokens_df
     if parse_partitions:
         df = df.repartition(parse_partitions)
-    raw = detokenize(df)
-    parsed = parse_syslog(raw, "raw", options, emit_parsed_json=emit_parsed_json)
+    parsed = parse_syslog_tokens(df, "tokens", options,
+                                 emit_parsed_json=emit_parsed_json)
     return enrich(parsed)
 
 
