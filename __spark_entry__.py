@@ -304,6 +304,34 @@ def q_simhash_near_dups(spark, sf_dir):
     return simhash_near_dups(docs, max_hamming=6)
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    from pysyslog.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=5, dim=64, n_planes=10).select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim6"), "rank"
+    )
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from pysyslog.similarity import embedding_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.5, dim=64, n_planes=8)
+
+
+def q_rolling_fingerprint(spark, sf_dir):
+    from pysyslog.textops import rolling_hash_udf
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_hash_udf()(F.col("text")).alias("rolling_fp")
+    )
+
+
 def q_syslog_pipeline(spark, sf_dir):
     """Full engine slice on the synthesized corpus: tokens → detokenize
     → parse → enrich → hourly facility×severity aggregate."""
@@ -358,6 +386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no oracle): LSH pipelines + full syslog slice
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "rolling_fingerprint": q_rolling_fingerprint,
         "syslog_pipeline": q_syslog_pipeline,
     }
 

@@ -591,7 +591,9 @@ class SyslogParser:
                     msg.setdefault("SDATA", {}).setdefault(sdid, {})[k] = v
             content = RE_LSTRIP.sub("", content)
             msg["content"] = content
-        elif opts.rfc5424_structured_data:
+        elif opts.rfc5424_structured_data and "[" in msg["content"]:
+            # the '[' literal guard skips the regex scan on the ~common
+            # case; the loose pattern cannot match without one
             content = msg["content"]
             while True:
                 m = RE_SDATA_LOOSE.search(content)
@@ -631,7 +633,11 @@ class SyslogParser:
                     msg["_json_error"] = f"Failed to decode json: {e}"
 
         # Splunk-style K/V (:973-997)
-        if opts.auto_detect_key_values and RE_KV_PRECHECK.search(msg["content"]):
+        if (
+            opts.auto_detect_key_values
+            and "=" in msg["content"]
+            and RE_KV_PRECHECK.search(msg["content"])
+        ):
             sdata: dict = {}
             for m in RE_KVDATA.finditer(msg["content"]):
                 k, v = m.group(1), m.group(2)
