@@ -188,6 +188,10 @@ RE_LOOSE_TOKEN = re.compile(r"([a-zA-Z0-9\.\-]+=(?:" + _QUOTED + r"|\S+))")
 RE_SDATA_GROUP = re.compile(r"^([^\s=]+)\s")
 RE_KV_TRAIL = re.compile(r"[)\]>,;'\"]+$")
 RE_KV_LEAD = re.compile(r"^[(\[<'\"]+")
+RE_WS = re.compile(r"\s+")
+RE_COLON_SPACE = re.compile(r"[: ]+")
+RE_LEAD_COLON_WS = re.compile(r"^[ :]+")
+RE_UNQUOTE = re.compile(r'(?:^")|(?:"$)')
 RE_UTC_SUFFIX = re.compile(r"\+00:?00$")
 RE_UTC_ANY = re.compile(r"\+00:?00")
 RE_LSTRIP = re.compile(r"^\s+")
@@ -466,6 +470,15 @@ class SyslogParser:
                     vals = list(opts.fmt_date(msg["datetime_raw"]))
                     vals += [None] * (4 - len(vals))
                     msg["date"], msg["time"], msg["epoch"], msg["datetime_str"] = vals[:4]
+                    if msg.get("datetime_str"):
+                        # FmtDate-provided string: faithful generic split
+                        # (⇔ split /[ T]/ then /[+\-Z]/, Line.pm:822-824)
+                        parts = RE_SPLIT_DT.split(msg["datetime_str"])
+                        msg["date"] = parts[0]
+                        t = parts[1] if len(parts) > 1 else None
+                        msg["time"] = (
+                            RE_SPLIT_TIME.split(t)[0] if t is not None else None
+                        )
                 else:
                     if bsd_groups is not None:
                         tm = self._parse_bsd_datetime(bsd_groups)
@@ -475,12 +488,13 @@ class SyslogParser:
                         # fallback: "now" (:808-809)
                         tm = (int(self.now_epoch * NS), self.local_offset_min)
                     self._render_datetime(msg, *tm)
-
-                if msg.get("datetime_str"):
-                    parts = RE_SPLIT_DT.split(msg["datetime_str"])
-                    msg["date"] = parts[0]
-                    t = parts[1] if len(parts) > 1 else None
-                    msg["time"] = RE_SPLIT_TIME.split(t)[0] if t is not None else None
+                    # date/time split (:820-824).  Our rendered form is
+                    # always YYYY-MM-DDTHH:MM:SS[.frac](Z|±hhmm) with no
+                    # +,-,Z inside the time part, so slicing is exactly
+                    # the reference's split-on-[ T]-then-[+\-Z].
+                    ds = msg["datetime_str"]
+                    msg["date"] = ds[:10]
+                    msg["time"] = ds[11:-1] if ds[-1] == "Z" else ds[11:-5]
 
         # Host (:837-850)
         m = RE_HOST.match(raw)
@@ -497,8 +511,9 @@ class SyslogParser:
                 msg["host"] = host
                 msg["domain"] = domain if _ else None
 
-        # Relayed logs: origin (:852-856)
-        while True:
+        # Relayed logs: origin (:852-856).  First-char guard: the relay
+        # pattern can only start with whitespace or a digit.
+        while raw[:1].isdigit() or raw[:1].isspace():
             m = RE_RELAY.match(raw)
             if not m:
                 break
@@ -506,8 +521,14 @@ class SyslogParser:
             msg["origin_date"] = m.group(1)
             raw = raw[m.end():]
 
-        # Cisco sequence + 2nd timestamp + NTP flag (:859-872)
-        m = RE_CISCO_SEQ.match(raw)
+        # Cisco sequence + 2nd timestamp + NTP flag (:859-872).
+        # First-char guard: the pattern starts with ws, digit, or ':'.
+        c0 = raw[:1]
+        m = (
+            RE_CISCO_SEQ.match(raw)
+            if c0 == ":" or c0.isdigit() or c0.isspace()
+            else None
+        )
         if m:
             raw = raw[m.end():]
             m2 = RE_DATE_LONG.match(raw)
@@ -531,7 +552,7 @@ class SyslogParser:
                 msg["program_raw"] = m.group(1)
                 progsep = m.group(2) or ""
                 prog_str = " ".join(
-                    w for w in re.split(r"\s+", msg["program_raw"]) if w not in INT_PRIORITY
+                    w for w in RE_WS.split(msg["program_raw"]) if w not in INT_PRIORITY
                 )
                 m2 = RE_PROGRAM_NAME.match(prog_str)
                 if m2:
@@ -554,14 +575,14 @@ class SyslogParser:
                     raw = raw[: m.start()] + raw[m.end():]
                     sub_str = m.group(1)
                     msg["program_raw"] = f"[{sub_str}]"
-                    parts = re.split(r"[: ]+", sub_str)
+                    parts = RE_COLON_SPACE.split(sub_str)
                     parts += [None] * (3 - len(parts))
                     _host, program, level = parts[:3]
                     msg["program_name"] = program
                     if "priority" not in msg and level is not None and level in LOG_PRIORITY_ANY:
                         msg["priority"] = level
                         msg["priority_int"] = LOG_PRIORITY_ANY[level]
-                    raw = re.sub(r"^[ :]+", "", raw)
+                    raw = RE_LEAD_COLON_WS.sub("", raw)
         else:
             raw = RE_LSTRIP.sub("", raw)
 
@@ -610,7 +631,7 @@ class SyslogParser:
                     k, v = t.group(1).split("=", 1)
                     if not v:
                         continue
-                    v = re.sub(r'(?:^")|(?:"$)', "", v)
+                    v = RE_UNQUOTE.sub("", v)
                     if group:
                         msg.setdefault("SDATA", {}).setdefault(group, {})[k] = v
                     else:
