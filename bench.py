@@ -8,8 +8,11 @@ per-query seconds for the other engine operators on the sf-dir tables.
 Env:
   SPARK_GRAFT_SF_DIR   table dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] threads (default 32)
-  PSL_BENCH_SCALING=1  also run the pipeline at local[8] vs local[32]
-                       (two-cluster-size proxy) and report efficiency
+  PSL_BENCH_SCALING    default 1: also run the pipeline at local[N] vs
+                       local[4N] in fresh processes (two-cluster-size
+                       proxy) and report efficiency; set 0 to skip
+  PSL_BENCH_SCALE_N    small level N (default 2; see BASELINE.md for
+                       why 2->8 and not 8->32 on this sandbox)
 """
 
 from __future__ import annotations
@@ -198,7 +201,7 @@ def main():
             }
         )
 
-        if os.environ.get("PSL_BENCH_SCALING") == "1":
+        if os.environ.get("PSL_BENCH_SCALING", "1") == "1":
             # N vs 4N parallelism proxy for the two-cluster-size rule.
             # Default window is local[2] -> local[8]: a raw-CPU probe on
             # this sandbox shows the 32 advertised vCPUs deliver only
