@@ -304,6 +304,35 @@ def q_simhash_near_dups(spark, sf_dir):
     return simhash_near_dups(docs, max_hamming=6)
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard on deterministic adjacent-id pairs."""
+    from pysyslog.dedup import jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+        )
+    )
+    j = jaccard_pairs(docs, pairs)
+    # inner joins drop pairs whose id_b has no document (max doc_id edge)
+    return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard6"))
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    from pysyslog.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4).select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim6"), "rank"
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     from pysyslog.similarity import lsh_topk
 
@@ -382,11 +411,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "minhash_signatures": q_minhash_signatures,
+        "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         # rows-only (no oracle): LSH pipelines + full syslog slice
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "rolling_fingerprint": q_rolling_fingerprint,
         "syslog_pipeline": q_syslog_pipeline,
@@ -569,6 +600,21 @@ def oracle_sql() -> dict[str, str]:
                    min(md5(sh || '#2')) AS h2,
                    min(md5(sh || '#3')) AS h3
             FROM ex GROUP BY doc_id
+        """,
+        "ngram_jaccard": f"""
+            WITH s AS (
+                SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM documents
+            ), p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.sh AS sa, b.sh AS sb
+                FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+                WHERE a.doc_id % 2 = 0
+            )
+            SELECT id_a, id_b,
+                   round(1.0 * len(list_intersect(sa, sb))
+                         / greatest(len(list_distinct(sa || sb)), 1), 6)
+                       AS jaccard6
+            FROM p
         """,
         "ann_cosine_topk": """
             WITH q AS (

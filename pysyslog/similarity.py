@@ -119,6 +119,62 @@ def lsh_topk(
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5, n_centroids: int = 16,
+    n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into inverted lists by
+    nearest centroid, probe the n_probe nearest lists per query, exact
+    cosine re-rank inside them.
+
+    Centroids are a deterministic sample (the n_centroids smallest ids)
+    — no iterative k-means, so the operator is a single pass and
+    retry-stable; at 100 TB the assignment is one mapInPandas sweep and
+    the probe join shuffles only candidates, never the corpus."""
+    import numpy as np
+
+    cents = [
+        (r[0], np.array(r[1], dtype=np.float64))
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    ]
+    cmat = np.stack([c[1] for c in cents])
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    def _top_lists(n):
+        @pandas_udf(ArrayType(IntegerType()))
+        def lists(vecs: pd.Series) -> pd.Series:
+            mat = np.stack(vecs.to_numpy()).astype(np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ cmat.T
+            order = np.argsort(-sims, axis=1)[:, :n]
+            return pd.Series([row.astype("int32").tolist() for row in order])
+
+        return lists
+
+    c_assigned = corpus.withColumn(
+        "__list", F.element_at(_top_lists(1)(F.col(vec_col)), 1)
+    )
+    q_probed = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        F.explode(_top_lists(n_probe)(F.col(vec_col))).alias("__list"),
+    )
+    cand = c_assigned.join(F.broadcast(q_probed), "__list").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
+    ).dropDuplicates([query_id_col, id_col])
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame, threshold: float = 0.95, dim: int = 64,
     n_planes: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",

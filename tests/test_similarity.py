@@ -103,3 +103,36 @@ def test_embedding_near_dup_pairs(spark):
         for r in embedding_near_dup_pairs(df, threshold=0.99, dim=DIM, n_planes=8).collect()
     }
     assert (0, 50) in pairs and pairs[(0, 50)] > 0.999
+
+
+def test_ivf_topk_recall(spark):
+    from pysyslog.similarity import ivf_topk
+
+    rng = np.random.default_rng(23)
+    rows = []
+    vid = 100
+    for q in range(6):
+        base = rng.normal(size=DIM)
+        rows.append((q, [float(x) for x in base]))
+        for _ in range(5):
+            pert = base + rng.normal(scale=0.05, size=DIM)
+            rows.append((vid, [float(x) for x in pert]))
+            vid += 1
+    for _ in range(80):
+        rows.append((vid, [float(x) for x in rng.normal(size=DIM)]))
+        vid += 1
+    corpus2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus2.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(corpus2, queries, k=5).collect()
+    approx = ivf_topk(corpus2, queries, k=5, n_centroids=12, n_probe=4).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 5 for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
