@@ -193,9 +193,14 @@ def main():
 
         result.update(
             {
-                "metric": "syslog end-to-end lines/sec (detok→parse→enrich→route→agg)",
-                "value": pipe["lines_per_sec"],
-                "unit": "lines/sec",
+                "metric": (
+                    "syslog end-to-end wall seconds for "
+                    f"{pipe['rows']} lines (detok→parse→enrich→route→agg); "
+                    "throughput in throughput_lines_per_sec"
+                ),
+                "value": pipe["total_sec"],
+                "unit": "sec",
+                "throughput_lines_per_sec": pipe["lines_per_sec"],
                 "pipeline": pipe,
                 "queries": queries,
             }
