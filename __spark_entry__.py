@@ -161,8 +161,11 @@ def q_enrich_broadcast(spark, sf_dir):
 def q_agg_hourly(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return (
+        # hour rendered as string: Arrow timestamp units (ns vs µs) differ
+        # between engines and break the driver's value hash
         ev.groupBy(
-            "event_type", F.date_trunc("hour", "ts").alias("hour")
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -496,7 +499,7 @@ def oracle_sql() -> dict[str, str]:
                            OVER (PARTITION BY source ORDER BY line_no) AS grp
                 FROM lines
             )
-            SELECT source, grp AS record_no,
+            SELECT source, grp::bigint AS record_no,
                    string_agg(line, chr(10) ORDER BY line_no) AS raw
             FROM grouped WHERE grp > 0
             GROUP BY source, grp
@@ -504,16 +507,18 @@ def oracle_sql() -> dict[str, str]:
         "enrich_broadcast": f"""
             SELECT {_sev_case("event_id % 8")} AS severity_name,
                    count(*) AS n,
-                   sum(floor(value * 100)::bigint) AS value_cents
+                   sum(floor(value * 100)::bigint)::bigint AS value_cents
             FROM events GROUP BY 1
         """,
         "agg_hourly": """
-            SELECT event_type, date_trunc('hour', ts) AS hour,
-                   count(*) AS n, sum(floor(value * 100)::bigint) AS value_cents
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   count(*) AS n, sum(floor(value * 100)::bigint)::bigint AS value_cents
             FROM events GROUP BY 1, 2
         """,
         "agg_salted": """
-            SELECT user_id, count(*) AS n, sum(floor(value * 100)::bigint) AS value_cents
+            SELECT user_id, count(*) AS n,
+                   sum(floor(value * 100)::bigint)::bigint AS value_cents
             FROM events GROUP BY 1
         """,
         "route_matrix": """
@@ -527,8 +532,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity::bigint) AS sum_qty,
-                   sum(floor(l_extendedprice * 100)::bigint) AS sum_base_cents,
+                   sum(l_quantity::bigint)::bigint AS sum_qty,
+                   sum(floor(l_extendedprice * 100)::bigint)::bigint AS sum_base_cents,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= '1998-09-02'
@@ -536,7 +541,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_nation_orders": """
             SELECT n_name, count(*) AS n_orders,
-                   sum(floor(o_totalprice * 100)::bigint) AS total_cents
+                   sum(floor(o_totalprice * 100)::bigint)::bigint AS total_cents
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey

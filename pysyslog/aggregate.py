@@ -16,6 +16,17 @@ shuffle layout changes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, DataType, MapType, StructType
+
+
+def _has_map(dt: DataType) -> bool:
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _has_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_has_map(f.dataType) for f in dt.fields)
+    return False
 
 
 def hourly_facility_severity_counts(enriched: DataFrame) -> DataFrame:
@@ -52,7 +63,15 @@ def salted_counts(df: DataFrame, key_col: str, n_salts: int = 32,
     count, so the plan scales with data volume while no reducer ever
     receives a whole hot key.
     """
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    # salt must be DETERMINISTIC per row: a task retry recomputes its
+    # partition, and a salt derived from monotonically_increasing_id()
+    # would assign rows to different stage-1 groups across attempts
+    # (indeterminate shuffle stage → job abort / miscounted partials).
+    # Hashing the row content is stable under recompute.  MAP columns
+    # are excluded (Spark forbids hashing maps — element order varies);
+    # the remaining columns still spread a hot key's rows uniformly.
+    hashable = [f.name for f in df.schema.fields if not _has_map(f.dataType)]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(n_salts))
     stage1 = (
         df.withColumn("__salt", salt)
         .groupBy(key_col, "__salt")

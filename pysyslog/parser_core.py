@@ -369,8 +369,10 @@ class SyslogParser:
         """BSD/legacy path ⇔ Line.pm:766-803. Returns (epoch_ns, offset_min)
         or None when construction fails."""
         year_s, _whole, mon_abbr, day_s, hh, mm, ss, hp = g
-        # month map ⇔ $MoY{...}+1 with Perl's undef->0 on unknown abbr
-        month = MONTH_NUM.get(mon_abbr, -1) + 1
+        # month map ⇔ $MoY{...}+1; Perl's undef numifies to 0, so an
+        # unknown 3-letter abbr yields month 1 (January) and the parse
+        # SUCCEEDS — default 0 here reproduces that exactly
+        month = MONTH_NUM.get(mon_abbr, 0) + 1
         offset_min = self.local_offset_min  # no offset in BSD form (:784)
         ns = 0
         if hp:

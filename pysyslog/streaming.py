@@ -53,10 +53,16 @@ def reassemble_stream(lines: DataFrame, timeout_ms: int = 60_000) -> DataFrame:
         source = key[0]
         if state.hasTimedOut:
             (buffer, emitted) = state.get
-            state.remove()
+            if buffer:
+                emitted += 1
+            # keep the emitted counter (do NOT remove state): later
+            # records for this source must continue record_no, not
+            # restart at 1 — append mode would emit duplicate keys
+            state.update(("", emitted))
+            state.setTimeoutDuration(timeout_ms)
             if buffer:
                 yield pd.DataFrame(
-                    {"source": [source], "record_no": [emitted + 1], "raw": [buffer]}
+                    {"source": [source], "record_no": [emitted], "raw": [buffer]}
                 )
             return
         buffer, emitted = state.get if state.exists else ("", 0)
