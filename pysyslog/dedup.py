@@ -48,17 +48,32 @@ def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 16, shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, h0..h{k-1}) MinHash signature via one explode+groupBy.
-    hash_i(s) = md5(s || '#i'); min taken lexicographically on the hex
-    digest — identical in the DuckDB oracle."""
-    ex = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    """(id, h0..h{k-1}) MinHash signature computed ROW-LOCALLY with
+    zero shuffle: each min is `array_min(transform(shingles, s ->
+    md5(s || '#i')))` over the per-document shingle array.  hash_i(s) =
+    md5(s || '#i'); min taken lexicographically on the hex digest —
+    identical in the DuckDB oracle.  (An earlier explode→groupBy
+    formulation shuffled every shingle of every document — ~corpus ×
+    shingle-factor bytes at 100 TB; this plan is a pure narrow map.)
+
+    The shingle array is materialized in its own projection so Catalyst
+    keeps ONE evaluation feeding all k hash columns (CollapseProject
+    declines to inline non-cheap expressions referenced k times)."""
+    shingled = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh")
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return ex.groupBy(id_col).agg(*aggs)
+    def _min_hash(i: int):
+        # NB: the transform lambda must be unary — a second parameter
+        # (even a default-arg capture) makes PySpark pass the array
+        # INDEX as that argument
+        suffix = F.lit(f"#{i}")
+        return F.array_min(
+            F.transform(F.col("__sh"), lambda s: F.md5(F.concat(s, suffix)))
+        )
+
+    return shingled.select(
+        id_col, *[_min_hash(i).alias(f"h{i}") for i in range(num_hashes)]
+    )
 
 
 def lsh_candidate_pairs(

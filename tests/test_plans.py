@@ -53,6 +53,18 @@ def test_aggregate_is_partial_final(spark):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+def test_minhash_signatures_shuffle_free(spark):
+    """MinHash mins are per-document (array_min over the shingle array):
+    the plan must be a pure narrow map — no Exchange anywhere.  (The
+    naive explode→groupBy alternative shuffles every shingle of every
+    document: ~corpus × shingle-factor bytes at 100 TB.)"""
+    from pysyslog.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(minhash_signatures(docs, num_hashes=8))
+    assert "Exchange" not in plan, plan
+
+
 def test_tokens_column_prunes_through_udf_projection(spark):
     """Selecting one parsed field must not force the scan to read other
     table columns (UDF input column excepted)."""
