@@ -43,6 +43,12 @@ class ParserOptions:
     # sequence (date, time, epoch, datetime_str); shorter sequences pad
     # with None exactly like the Perl hash-slice assignment.
     fmt_date: Optional[Callable] = None
+    # ⇔ $TimeMomentFormatString (Line.pm:34, POD :348-350, applied at
+    # :814-816): strftime-style format for datetime_utc/local/str.  The
+    # reference's +00:00→Z rewrite still applies to the rendered string.
+    # Supported codes: %Y %m %d %e %H %M %S %F %T %f %z %s %% (the
+    # subset Time::Moment documents for this option's typical use).
+    time_format: str = "%FT%T%f%z"
     # ⇔ set_syslog_timezone / use_utc_syslog (Line.pm:1137-1156), but
     # explicit.  IANA name ("UTC", "Europe/Warsaw", "EST").
     default_tz: str = "UTC"
@@ -69,6 +75,7 @@ PERL_OPTION_NAMES = {
     "PruneFields": "prune_fields",
     "RFC5424StructuredData": "rfc5424_structured_data",
     "RFC5424StructuredDataStrict": "rfc5424_strict",
+    "TimeMomentFormatString": "time_format",
 }
 
 
@@ -81,6 +88,8 @@ def options_from_perl(d: dict, base: ParserOptions = ParserOptions()) -> ParserO
             continue
         if f == "prune_fields":
             kw[f] = tuple(v) if not isinstance(v, str) else tuple(v.split())
+        elif f == "time_format":
+            kw[f] = str(v)
         else:
             kw[f] = bool(int(v)) if isinstance(v, str) else bool(v)
     return base.with_(**kw)

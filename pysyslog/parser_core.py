@@ -245,6 +245,53 @@ def _off_str(minutes: int) -> str:
     return f"{sign}{m // 60:02d}{m % 60:02d}"
 
 
+def _compile_tm_format(fmt: str):
+    """Compile a $TimeMomentFormatString-style format (Line.pm:34) into
+    a renderer fn(y, mo, d, h, mi, s, frac_ns, offset_min, epoch_sec).
+    %F/%T expand to their primitive forms; %f is Time::Moment's
+    shortest-exact fraction (empty when 0); unsupported codes pass
+    through literally (matching strftime's lenient behavior)."""
+    fmt = fmt.replace("%F", "%Y-%m-%d").replace("%T", "%H:%M:%S")
+    parts = re.split(r"(%.)", fmt)
+
+    def render(y, mo, d, h, mi, s, frac_ns, offset_min, epoch_sec):
+        out = []
+        for p in parts:
+            if len(p) == 2 and p[0] == "%":
+                c = p[1]
+                if c == "Y":
+                    out.append(f"{y:04d}")
+                elif c == "m":
+                    out.append(f"{mo:02d}")
+                elif c == "d":
+                    out.append(f"{d:02d}")
+                elif c == "e":
+                    out.append(f"{d:2d}")
+                elif c == "H":
+                    out.append(f"{h:02d}")
+                elif c == "M":
+                    out.append(f"{mi:02d}")
+                elif c == "S":
+                    out.append(f"{s:02d}")
+                elif c == "f":
+                    out.append(_frac_str(frac_ns))
+                elif c == "z":
+                    out.append("+0000" if offset_min == 0 else _off_str(offset_min))
+                elif c == "s":
+                    out.append(str(epoch_sec))
+                elif c == "%":
+                    out.append("%")
+                else:
+                    out.append(p)
+            elif p:
+                out.append(p)
+        return "".join(out)
+
+    return render
+
+
+_DEFAULT_TIME_FORMAT = "%FT%T%f%z"
+
 _EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
 _DAYS_IN_MONTH = (31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
 
@@ -324,6 +371,13 @@ class SyslogParser:
         self.now_epoch = float(now)
         self.local_offset_min = _tz_offset_minutes(self.opts.default_tz, self.now_epoch)
         self.local_year = _local_year(self.opts.default_tz, self.now_epoch)
+        # custom $TimeMomentFormatString renderer; None keeps the fused
+        # fast formatter (_fmt_iso) on the default-format hot path
+        self._tm_render = (
+            None
+            if self.opts.time_format == _DEFAULT_TIME_FORMAT
+            else _compile_tm_format(self.opts.time_format)
+        )
 
     # -- datetime ----------------------------------------------------------
 
@@ -339,6 +393,8 @@ class SyslogParser:
         """
         sec, frac_ns = divmod(epoch_ns, NS)
         msg["epoch"] = f"{sec}{_frac_str(frac_ns)}" if frac_ns else str(sec)
+        if self._tm_render is not None:
+            return self._render_datetime_custom(msg, sec, frac_ns, offset_min)
         utc = self._fmt_iso(epoch_ns, 0)
         msg["datetime_utc"] = utc
         lo = self.local_offset_min
@@ -348,6 +404,32 @@ class SyslogParser:
             utc if offset_min == 0
             else local if offset_min == lo
             else self._fmt_iso(epoch_ns, offset_min)
+        )
+        msg["tz"] = "Z" if offset_min == 0 else _off_str(offset_min)
+
+    def _render_datetime_custom(self, msg, sec, frac_ns, offset_min):
+        """Non-default $TimeMomentFormatString path (Line.pm:814-816):
+        render each of utc/local/str with the compiled format, then
+        apply the reference's s/\\+00:?00$/Z/ rewrite."""
+        render = self._tm_render
+
+        def fmt(off):
+            shifted = sec + off * 60
+            days, sod = divmod(shifted, 86400)
+            y, mo, d = _civil_from_days(days)
+            h, rem = divmod(sod, 3600)
+            mi, s = divmod(rem, 60)
+            return RE_UTC_SUFFIX.sub("Z", render(y, mo, d, h, mi, s, frac_ns, off, sec))
+
+        utc = fmt(0)
+        msg["datetime_utc"] = utc
+        lo = self.local_offset_min
+        local = utc if lo == 0 else fmt(lo)
+        msg["datetime_local"] = local
+        msg["datetime_str"] = (
+            utc if offset_min == 0
+            else local if offset_min == lo
+            else fmt(offset_min)
         )
         msg["tz"] = "Z" if offset_min == 0 else _off_str(offset_min)
 
@@ -490,13 +572,22 @@ class SyslogParser:
                         # fallback: "now" (:808-809)
                         tm = (int(self.now_epoch * NS), self.local_offset_min)
                     self._render_datetime(msg, *tm)
-                    # date/time split (:820-824).  Our rendered form is
-                    # always YYYY-MM-DDTHH:MM:SS[.frac](Z|±hhmm) with no
-                    # +,-,Z inside the time part, so slicing is exactly
-                    # the reference's split-on-[ T]-then-[+\-Z].
+                    # date/time split (:820-824).  The default rendered
+                    # form is always YYYY-MM-DDTHH:MM:SS[.frac](Z|±hhmm)
+                    # with no +,-,Z inside the time part, so slicing is
+                    # exactly the reference's split-on-[ T]-then-[+\-Z];
+                    # a custom format needs the faithful generic split.
                     ds = msg["datetime_str"]
-                    msg["date"] = ds[:10]
-                    msg["time"] = ds[11:-1] if ds[-1] == "Z" else ds[11:-5]
+                    if self._tm_render is None:
+                        msg["date"] = ds[:10]
+                        msg["time"] = ds[11:-1] if ds[-1] == "Z" else ds[11:-5]
+                    else:
+                        parts = RE_SPLIT_DT.split(ds)
+                        msg["date"] = parts[0]
+                        t = parts[1] if len(parts) > 1 else None
+                        msg["time"] = (
+                            RE_SPLIT_TIME.split(t)[0] if t is not None else None
+                        )
 
         # Host (:837-850)
         m = RE_HOST.match(raw)

@@ -129,3 +129,36 @@ def test_relay_origin_extraction():
     assert msg["origin_date"] == "2024-05-23T03:38:26.264Z"
     assert msg["program_name"] == "RT_FLOW"
     assert msg["content"] == "CLOSE"
+
+
+def test_time_moment_format_string():
+    """⇔ $TimeMomentFormatString (Line.pm:34, applied :814-816): a
+    custom format drives datetime_utc/local/str rendering, with the
+    +00:00→Z rewrite and the generic date/time re-split intact."""
+    from datetime import datetime
+
+    now = datetime.fromisoformat("2016-01-01T00:00:01+00:00").timestamp()
+    opts = ParserOptions(now_epoch=now, time_format="%Y-%m-%d %H:%M:%S%z")
+    msg = SyslogParser(opts).parse(
+        "2015-09-30T06:26:06.264Z my-host my-script.pl: hello"
+    )
+    assert msg["datetime_utc"] == "2015-09-30 06:26:06Z"  # +0000 -> Z
+    assert msg["datetime_str"] == "2015-09-30 06:26:06Z"
+    assert msg["date"] == "2015-09-30"
+    assert msg["time"] == "06:26:06"
+    assert msg["tz"] == "Z"
+    # epoch is format-independent (%s%f, Line.pm:812)
+    assert msg["epoch"] == "1443594366.264"
+
+    # non-UTC offset keeps %z verbatim (no Z rewrite)
+    est = ParserOptions(now_epoch=now, time_format="%FT%T%z", default_tz="EST")
+    m2 = SyslogParser(est).parse("May 19 22:03:29 janus sshd[10173]: x")
+    assert m2["datetime_str"].endswith("-0500")
+    assert m2["tz"] == "-0500"
+
+
+def test_time_format_perl_option_name_maps():
+    from pysyslog.options import options_from_perl
+
+    o = options_from_perl({"TimeMomentFormatString": "%T"})
+    assert o.time_format == "%T"
