@@ -139,6 +139,229 @@ def q_multiline_reassembly(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# parse-stage oracles: SDATA / JSON / Cisco / NetApp / relay / dates / prune
+# (each synthesizes lines from `events` so DuckDB predicts the parse output)
+# --------------------------------------------------------------------------
+
+OPTS_STRICT = OPTS.with_(rfc5424_strict=True)
+OPTS_PRUNE = OPTS.with_(prune_raw=True, prune_empty=True,
+                        prune_fields=("content", "tz"))
+OPTS_TIMEFMT = OPTS.with_(time_format="%Y/%m/%d %H.%M.%S%z")
+
+
+def _fmtdate_hook(datetime_raw: str):
+    """FmtDate-style hook (⇔ $FmtDate, Line.pm:33/:761-763): constant
+    output so the oracle is a constant; date/time re-derive from the
+    returned datetime_str exactly like the reference's re-split."""
+    return ("ignored-date", "ignored-time", "1234.5", "2020-02-02T10:20:30+0500")
+
+
+OPTS_FMTDATE = OPTS.with_(fmt_date=_fmtdate_hook)
+
+def _eid():
+    return F.col("event_id").cast("string")
+
+
+def _h9():
+    return F.concat(F.lit("h"), (F.col("user_id") % 9).cast("string"))
+
+
+def q_parse_sdata_strict(spark, sf_dir):
+    """RFC5424 strict SDATA (⇔ Line.pm:921-934): [SDID@PEN k="v" ...]
+    consumed from content head, dotted map keys, quotes trimmed."""
+    ev = _read(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("<13>Jun  1 12:00:00 "), _h9(), F.lit(" app["), _eid(),
+        F.lit(']: [exampleSDID@32473 iut="'), (F.col("event_id") % 10).cast("string"),
+        F.lit('" eventSource="src '), F.col("event_type"),
+        F.lit('" eventID="'), _eid(), F.lit('"] done '), _eid(),
+    )
+    p = parse_syslog(ev.select("event_id", line.alias("raw")), "raw", OPTS_STRICT)
+    return p.select(
+        "event_id",
+        p["sdata"]["exampleSDID@32473.iut"].cast("long").alias("sd_iut"),
+        p["sdata"]["exampleSDID@32473.eventSource"].alias("sd_source"),
+        p["sdata"]["exampleSDID@32473.eventID"].cast("long").alias("sd_event"),
+        "content",
+    )
+
+
+def q_parse_sdata_loose(spark, sf_dir):
+    """Loose RFC5424-ish SDATA (⇔ Line.pm:935-956): [group k=v ...]
+    excised from content, group-dotted keys, values unquoted."""
+    ev = _read(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("Jun  1 12:00:00 "), _h9(), F.lit(' app: error [session k1="v'),
+        (F.col("user_id")).cast("string"), F.lit('" count='),
+        (F.col("event_id") % 100).cast("string"), F.lit("] tail"), _eid(),
+    )
+    p = parse_syslog(ev.select("event_id", line.alias("raw")), "raw", OPTS)
+    return p.select(
+        "event_id",
+        p["sdata"]["session.k1"].alias("sd_k1"),
+        p["sdata"]["session.count"].cast("long").alias("sd_count"),
+        "content",
+    )
+
+
+def q_parse_json_tail(spark, sf_dir):
+    """JSON tail detect (⇔ Line.pm:958-972): valid JSON merges into
+    SDATA; malformed JSON sets _json_error and leaves SDATA null."""
+    ev = _read(spark, sf_dir, "events")
+    good = F.concat(
+        F.lit("Jun  1 12:00:00 "), _h9(), F.lit(" app["), _eid(),
+        F.lit(']: status {"code":'), (F.col("event_id") % 500).cast("string"),
+        F.lit(',"ok":true,"name":"'), F.col("event_type"), F.lit('"}'),
+    )
+    bad = F.concat(
+        F.lit("Jun  1 12:00:00 "), _h9(), F.lit(" app["), _eid(),
+        F.lit("]: status {broken "), _eid(),
+    )
+    line = F.when(F.col("event_id") % 5 == 0, bad).otherwise(good)
+    p = parse_syslog(ev.select("event_id", line.alias("raw")), "raw", OPTS)
+    return p.select(
+        "event_id",
+        p["sdata"]["code"].cast("long").alias("js_code"),
+        p["sdata"]["ok"].alias("js_ok"),
+        p["sdata"]["name"].alias("js_name"),
+        F.col("_json_error").isNotNull().alias("json_failed"),
+        "content",
+    )
+
+
+def q_parse_cisco_ntp(spark, sf_dir):
+    """Cisco sequence + second timestamp + NTP flag (⇔ Line.pm:859-872):
+    '' -> ok, '*' -> not configured, '.' -> out of sync."""
+    ev = _read(spark, sf_dir, "events")
+    flag = (
+        F.when(F.col("event_id") % 3 == 1, F.lit("*"))
+        .when(F.col("event_id") % 3 == 2, F.lit("."))
+        .otherwise(F.lit(""))
+    )
+    line = F.concat(
+        F.lit("<189>Jun  1 12:00:00 "), _h9(), F.lit(" "),
+        (F.col("event_id") % 900000).cast("string"), F.lit(": "), flag,
+        F.lit("Jun  1 12:00:01: %FOO-5-BAR: msg "), _eid(),
+    )
+    p = parse_syslog(ev.select("event_id", line.alias("raw")), "raw", OPTS)
+    return p.select("event_id", "ntp", "program_name", "content")
+
+
+def q_parse_netapp(spark, sf_dir):
+    """NetApp tag form (⇔ Line.pm:897-909): [host prog:level]: msg —
+    program from the tag, level fills priority when PRI is absent."""
+    ev = _read(spark, sf_dir, "events")
+    level = (
+        F.when(F.col("event_id") % 4 == 0, F.lit("notice"))
+        .when(F.col("event_id") % 4 == 1, F.lit("warn"))
+        .when(F.col("event_id") % 4 == 2, F.lit("err"))
+        .otherwise(F.lit("info"))
+    )
+    na = F.concat(F.lit("na"), (F.col("user_id") % 9).cast("string"))
+    line = F.concat(
+        F.lit("Jun  1 12:00:00 "), na, F.lit(" ["), na,
+        F.lit(" raid.disk.online:"), level, F.lit("]: Disk "),
+        (F.col("event_id") % 24).cast("string"), F.lit(" online"),
+    )
+    p = parse_syslog(ev.select("event_id", line.alias("raw")), "raw", OPTS)
+    return p.select(
+        "event_id", "program_raw", "program_name", "priority",
+        F.col("priority_int").cast("int").alias("priority_int"), "content",
+    )
+
+
+def q_parse_relay(spark, sf_dir):
+    """Relayed-log origin detection (⇔ Line.pm:852-856): second
+    timestamp + relay host captured as origin/origin_date."""
+    ev = _read(spark, sf_dir, "events")
+    ms = F.lpad((F.col("event_id") % 1000).cast("string"), 3, "0")
+    line = F.concat(
+        F.lit("<14>1 2023-06-01T12:00:00+00:00 gw"),
+        (F.col("user_id") % 9).cast("string"),
+        F.lit(" 1 2023-06-01T12:00:05."), ms, F.lit("Z relay"),
+        (F.col("event_id") % 20).cast("string"), F.lit(" app: alert "), _eid(),
+    )
+    p = parse_syslog(ev.select("event_id", line.alias("raw")), "raw", OPTS)
+    return p.select(
+        "event_id", "origin", "origin_date", "host", "program_name",
+        "datetime_raw", "content",
+    )
+
+
+def q_parse_bsd_year(spark, sf_dir):
+    """BSD date fields + year inference (⇔ Line.pm:766-803): dates past
+    `now` (pinned 2018-12-01) roll back to the previous year."""
+    ev = _read(spark, sf_dir, "events")
+    line = F.concat(
+        F.when(F.col("event_id") % 2 == 0, F.lit("Jun  1 07:08:09 "))
+        .otherwise(F.lit("Dec 15 23:59:59 ")),
+        _h9(), F.lit(" app: m"), _eid(),
+    )
+    p = parse_syslog(ev.select("event_id", line.alias("raw")), "raw", OPTS)
+    return p.select("event_id", "date", "time", "epoch", "datetime_utc", "tz")
+
+
+def q_parse_prune(spark, sf_dir):
+    """Prune semantics (⇔ Line.pm:999-1009): PruneRaw drops *_raw keys,
+    PruneFields drops named keys; message is assembled BEFORE pruning."""
+    ev = _read(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("Jun  1 12:00:00 "), _h9(), F.lit(" app: ok "), _eid(),
+    )
+    p = parse_syslog(ev.select("event_id", line.alias("raw")), "raw", OPTS_PRUNE)
+    return p.select(
+        "event_id", "message_raw", "program_raw", "host_raw", "content",
+        "tz", "message", "program_name", "host",
+    )
+
+
+def q_parse_guard(spark, sf_dir):
+    """Non-syslog whitespace guard (⇔ Line.pm:716): lines starting with
+    whitespace yield message_raw only — every parsed field stays null."""
+    ev = _read(spark, sf_dir, "events")
+    line = F.when(
+        F.col("event_id") % 3 == 0,
+        F.concat(F.lit("\tcontinuation "), _eid()),
+    ).otherwise(
+        F.concat(F.lit("Jun  1 12:00:00 "), _h9(), F.lit(" app: m"), _eid())
+    )
+    p = parse_syslog(ev.select("event_id", line.alias("raw")), "raw", OPTS)
+    return p.select(
+        "event_id", "message_raw", "host", "program_name", "content", "epoch",
+    )
+
+
+def q_parse_fmtdate(spark, sf_dir):
+    """FmtDate hook (⇔ $FmtDate, Line.pm:761-763): hook output fills
+    (date, time, epoch, datetime_str); date/time re-split from the
+    returned datetime_str; the normal render path (datetime_utc) is
+    bypassed entirely."""
+    ev = _read(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("Jun  1 12:00:00 "), _h9(), F.lit(" app: m"), _eid(),
+    )
+    p = parse_syslog(ev.select("event_id", line.alias("raw")), "raw", OPTS_FMTDATE)
+    return p.select(
+        "event_id", "date", "time", "epoch", "datetime_str", "datetime_utc",
+    )
+
+
+def q_parse_timefmt(spark, sf_dir):
+    """TimeMomentFormatString (⇔ Line.pm:34/:814-816): custom strftime
+    rendering for datetime_utc/str with the +00:00->Z rewrite; the
+    message's own offset (+02:00) is preserved in datetime_str/tz."""
+    ev = _read(spark, sf_dir, "events")
+    line = F.concat(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit("+02:00 "), _h9(), F.lit(" app: m"), _eid(),
+    )
+    p = parse_syslog(ev.select("event_id", line.alias("raw")), "raw", OPTS_TIMEFMT)
+    return p.select(
+        "event_id", "datetime_utc", "datetime_str", "date", "time", "tz",
+    )
+
+
+# --------------------------------------------------------------------------
 # engine relational ops
 # --------------------------------------------------------------------------
 
@@ -400,6 +623,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_pri": q_parse_pri,
         "parse_iso_time": q_parse_iso_time,
         "parse_kv": q_parse_kv,
+        "parse_sdata_strict": q_parse_sdata_strict,
+        "parse_sdata_loose": q_parse_sdata_loose,
+        "parse_json_tail": q_parse_json_tail,
+        "parse_cisco_ntp": q_parse_cisco_ntp,
+        "parse_netapp": q_parse_netapp,
+        "parse_relay": q_parse_relay,
+        "parse_bsd_year": q_parse_bsd_year,
+        "parse_prune": q_parse_prune,
+        "parse_guard": q_parse_guard,
+        "parse_fmtdate": q_parse_fmtdate,
+        "parse_timefmt": q_parse_timefmt,
         "multiline_reassembly": q_multiline_reassembly,
         "enrich_broadcast": q_enrich_broadcast,
         "agg_hourly": q_agg_hourly,
@@ -482,6 +716,141 @@ def oracle_sql() -> dict[str, str]:
                    event_type AS kv_type,
                    floor(value * 100)::bigint AS kv_cents
             FROM events
+        """,
+        "parse_sdata_strict": """
+            SELECT event_id,
+                   (event_id % 10)::bigint AS sd_iut,
+                   'src ' || event_type AS sd_source,
+                   event_id AS sd_event,
+                   'done ' || event_id::varchar AS content
+            FROM events
+        """,
+        "parse_sdata_loose": """
+            SELECT event_id,
+                   'v' || user_id::varchar AS sd_k1,
+                   (event_id % 100)::bigint AS sd_count,
+                   'error tail' || event_id::varchar AS content
+            FROM events
+        """,
+        "parse_json_tail": """
+            SELECT event_id,
+                   CASE WHEN event_id % 5 = 0 THEN NULL
+                        ELSE (event_id % 500) END::bigint AS js_code,
+                   CASE WHEN event_id % 5 = 0 THEN NULL ELSE 'true' END AS js_ok,
+                   CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END AS js_name,
+                   (event_id % 5 = 0) AS json_failed,
+                   CASE WHEN event_id % 5 = 0
+                        THEN 'status {broken ' || event_id::varchar
+                        ELSE 'status {"code":' || (event_id % 500)::varchar
+                             || ',"ok":true,"name":"' || event_type || '"}'
+                   END AS content
+            FROM events
+        """,
+        "parse_cisco_ntp": """
+            SELECT event_id,
+                   CASE event_id % 3 WHEN 1 THEN 'not configured'
+                                     WHEN 2 THEN 'out of sync'
+                                     ELSE 'ok' END AS ntp,
+                   '%FOO-5-BAR' AS program_name,
+                   'msg ' || event_id::varchar AS content
+            FROM events
+        """,
+        "parse_netapp": """
+            WITH l AS (
+                SELECT *, CASE event_id % 4 WHEN 0 THEN 'notice'
+                                            WHEN 1 THEN 'warn'
+                                            WHEN 2 THEN 'err'
+                                            ELSE 'info' END AS lvl
+                FROM events
+            )
+            SELECT event_id,
+                   '[na' || (user_id % 9)::varchar || ' raid.disk.online:'
+                       || lvl || ']' AS program_raw,
+                   'raid.disk.online' AS program_name,
+                   lvl AS priority,
+                   (CASE lvl WHEN 'notice' THEN 5 WHEN 'warn' THEN 4
+                             WHEN 'err' THEN 3 ELSE 6 END)::int AS priority_int,
+                   'Disk ' || (event_id % 24)::varchar || ' online' AS content
+            FROM l
+        """,
+        "parse_relay": """
+            SELECT event_id,
+                   'relay' || (event_id % 20)::varchar AS origin,
+                   '2023-06-01T12:00:05.'
+                       || lpad((event_id % 1000)::varchar, 3, '0')
+                       || 'Z' AS origin_date,
+                   'gw' || (user_id % 9)::varchar AS host,
+                   'app' AS program_name,
+                   '2023-06-01T12:00:00+00:00' AS datetime_raw,
+                   'alert ' || event_id::varchar AS content
+            FROM events
+        """,
+        "parse_bsd_year": """
+            SELECT event_id,
+                   CASE WHEN event_id % 2 = 0 THEN '2018-06-01'
+                        ELSE '2017-12-15' END AS date,
+                   CASE WHEN event_id % 2 = 0 THEN '07:08:09'
+                        ELSE '23:59:59' END AS time,
+                   CASE WHEN event_id % 2 = 0
+                        THEN epoch(TIMESTAMP '2018-06-01 07:08:09')::bigint::varchar
+                        ELSE epoch(TIMESTAMP '2017-12-15 23:59:59')::bigint::varchar
+                   END AS epoch,
+                   CASE WHEN event_id % 2 = 0 THEN '2018-06-01T07:08:09Z'
+                        ELSE '2017-12-15T23:59:59Z' END AS datetime_utc,
+                   'Z' AS tz
+            FROM events
+        """,
+        "parse_prune": """
+            SELECT event_id,
+                   NULL::varchar AS message_raw,
+                   NULL::varchar AS program_raw,
+                   NULL::varchar AS host_raw,
+                   NULL::varchar AS content,
+                   NULL::varchar AS tz,
+                   'app: ok ' || event_id::varchar AS message,
+                   'app' AS program_name,
+                   'h' || (user_id % 9)::varchar AS host
+            FROM events
+        """,
+        "parse_guard": """
+            SELECT event_id,
+                   CASE WHEN event_id % 3 = 0
+                        THEN chr(9) || 'continuation ' || event_id::varchar
+                        ELSE 'Jun  1 12:00:00 h' || (user_id % 9)::varchar
+                             || ' app: m' || event_id::varchar
+                   END AS message_raw,
+                   CASE WHEN event_id % 3 = 0 THEN NULL::varchar
+                        ELSE 'h' || (user_id % 9)::varchar END AS host,
+                   CASE WHEN event_id % 3 = 0 THEN NULL::varchar
+                        ELSE 'app' END AS program_name,
+                   CASE WHEN event_id % 3 = 0 THEN NULL::varchar
+                        ELSE 'm' || event_id::varchar END AS content,
+                   CASE WHEN event_id % 3 = 0 THEN NULL::varchar
+                        ELSE epoch(TIMESTAMP '2018-06-01 12:00:00')::bigint::varchar
+                   END AS epoch
+            FROM events
+        """,
+        "parse_fmtdate": """
+            SELECT event_id,
+                   '2020-02-02' AS date,
+                   '10:20:30' AS time,
+                   '1234.5' AS epoch,
+                   '2020-02-02T10:20:30+0500' AS datetime_str,
+                   NULL::varchar AS datetime_utc
+            FROM events
+        """,
+        "parse_timefmt": """
+            WITH t AS (
+                SELECT event_id, date_trunc('second', ts) AS s FROM events
+            )
+            SELECT event_id,
+                   strftime(s - INTERVAL 2 HOUR, '%Y/%m/%d %H.%M.%S') || 'Z'
+                       AS datetime_utc,
+                   strftime(s, '%Y/%m/%d %H.%M.%S') || '+0200' AS datetime_str,
+                   strftime(s, '%Y/%m/%d') AS date,
+                   strftime(s, '%H.%M.%S') AS time,
+                   '+0200' AS tz
+            FROM t
         """,
         "multiline_reassembly": """
             WITH lines AS (

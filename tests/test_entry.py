@@ -36,7 +36,7 @@ def _duck(sf_dir):
 
 def _norm(v):
     if v is None:
-        return None
+        return "\x00null"  # sortable sentinel (None < str comparisons raise)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
