@@ -527,7 +527,11 @@ def q_simhash_near_dups(spark, sf_dir):
     from pysyslog.dedup import simhash_near_dups
 
     docs = _read(spark, sf_dir, "documents")
-    return simhash_near_dups(docs, max_hamming=6)
+    # max_hamming=3 keeps the 4-band pigeonhole guarantee complete, so
+    # the DuckDB replay (same banding, same threshold) is an exact oracle
+    return simhash_near_dups(docs, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -575,7 +579,9 @@ def q_embedding_near_dups(spark, sf_dir):
     from pysyslog.similarity import embedding_near_dup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.5, dim=64, n_planes=8)
+    return embedding_near_dup_pairs(emb, threshold=0.5, dim=64, n_planes=8).select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim6")
+    )
 
 
 def q_rolling_fingerprint(spark, sf_dir):
@@ -683,6 +689,195 @@ _SHINGLES = (
     f"list_transform(range(1, greatest(len({_WORDS_DOC}) - 2, 1) + 1), "
     f"i -> concat_ws(' ', {_WORDS_DOC}[i], {_WORDS_DOC}[i+1], {_WORDS_DOC}[i+2]))"
 )
+
+
+# ---- ANN / LSH oracle SQL generators --------------------------------------
+# The hyperplanes are deterministic constants (pysyslog.similarity._plane),
+# inlined as DOUBLE[] literals so DuckDB computes the *same* signatures,
+# buckets, and probes — replaying the approximate operator exactly, not
+# just its verification stage.
+
+def _plane_lit(p: int, dim: int = 64) -> str:
+    from pysyslog.similarity import _plane
+
+    return "[" + ", ".join(repr(float(x)) for x in _plane(dim, p)) + "]::DOUBLE[]"
+
+
+def _sig_expr(vec: str, n_planes: int) -> str:
+    terms = [
+        f"CASE WHEN list_inner_product({vec}, {_plane_lit(i)}) > 0.0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i in range(n_planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_topk_sql(k: int = 5, n_planes: int = 10) -> str:
+    probes = ", ".join(["sig"] + [f"xor(sig, {1 << i})" for i in range(n_planes)])
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3
+        ), sigs AS (
+            SELECT vec_id, {_sig_expr('v', n_planes)} AS sig FROM e
+        ), qsigs AS (
+            SELECT query_id, {_sig_expr('qv', n_planes)} AS sig FROM q
+        ), probes AS (
+            SELECT query_id, unnest([{probes}]) AS sig FROM qsigs
+        ), cand AS (
+            SELECT DISTINCT p.query_id, s.vec_id
+            FROM probes p JOIN sigs s USING (sig)
+        ), scored AS (
+            SELECT c.query_id, c.vec_id,
+                   list_cosine_similarity(e.v, q.qv) AS cos_sim
+            FROM cand c
+            JOIN e ON e.vec_id = c.vec_id
+            JOIN q ON q.query_id = c.query_id
+        )
+        SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim6,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM scored QUALIFY rank <= {k}
+    """
+
+
+def _ivf_topk_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 4,
+                  n_assign: int = 2) -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), cent AS (
+            SELECT row_number() OVER (ORDER BY md5(vec_id::varchar), vec_id) - 1 AS ci,
+                   v AS cv
+            FROM e ORDER BY md5(vec_id::varchar), vec_id LIMIT {n_centroids}
+        ), assign AS (
+            SELECT vec_id, ci,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(v, cv) DESC, ci) AS rnk
+            FROM e CROSS JOIN cent
+        ), c_assigned AS (
+            SELECT vec_id, ci AS list FROM assign WHERE rnk <= {n_assign}
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3
+        ), q_probes AS (
+            SELECT query_id, ci AS list FROM (
+                SELECT query_id, ci,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY list_cosine_similarity(qv, cv) DESC, ci) AS rnk
+                FROM q CROSS JOIN cent
+            ) WHERE rnk <= {n_probe}
+        ), cand AS (
+            SELECT DISTINCT p.query_id, a.vec_id
+            FROM q_probes p JOIN c_assigned a USING (list)
+        ), scored AS (
+            SELECT c.query_id, c.vec_id,
+                   list_cosine_similarity(e.v, q.qv) AS cos_sim
+            FROM cand c
+            JOIN e ON e.vec_id = c.vec_id
+            JOIN q ON q.query_id = c.query_id
+        )
+        SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim6,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM scored QUALIFY rank <= {k}
+    """
+
+
+def _embedding_near_dups_sql(threshold: float = 0.5, n_planes: int = 8) -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), sigs AS (
+            SELECT vec_id, v, {_sig_expr('v', n_planes)} AS sig FROM e
+        ), pairs AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b,
+               round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim6
+        FROM pairs
+        JOIN e ea ON ea.vec_id = id_a
+        JOIN e eb ON eb.vec_id = id_b
+        WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
+    """
+
+
+def _minhash_near_dups_sql(threshold: float = 0.5, num_hashes: int = 16,
+                           bands: int = 4, rows_per_band: int = 4) -> str:
+    mins = ",\n                   ".join(
+        f"min(md5(sh || '#{i}')) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        cols = " || '|' || ".join(
+            f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig"
+        )
+    banded = "\n            UNION ALL ".join(band_selects)
+    return f"""
+        WITH ex AS (
+            SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents
+        ), sig AS (
+            SELECT doc_id,
+                   {mins}
+            FROM ex GROUP BY doc_id
+        ), banded AS (
+            {banded}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                          AND a.doc_id < b.doc_id
+        ), sh AS (
+            SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM documents
+        )
+        SELECT id_a, id_b,
+               1.0 * len(list_intersect(sa.s, sb.s))
+                   / greatest(len(list_distinct(sa.s || sb.s)), 1) AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE 1.0 * len(list_intersect(sa.s, sb.s))
+                  / greatest(len(list_distinct(sa.s || sb.s)), 1) >= {threshold}
+    """
+
+
+def _simhash_near_dups_sql(max_hamming: int = 3, bits: int = 32) -> str:
+    sig_terms = " + ".join(
+        f"CASE WHEN 2 * sum(CASE WHEN substr(md5(t), {j + 1}, 1) >= '8' "
+        f"THEN 1 ELSE 0 END) > count(*) THEN {1 << j} ELSE 0 END"
+        for j in range(bits)
+    )
+    chunk_selects = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {i} AS ci, (sh >> {8 * i}) & 255 AS cv FROM sig"
+        for i in range(4)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(trim(lower(text)), '\\s+'),
+                x -> x != '')) AS t
+            FROM documents WHERE text IS NOT NULL
+        ), sig AS (
+            SELECT doc_id, ({sig_terms})::bigint AS sh
+            FROM tok GROUP BY doc_id
+        ), banded AS (
+            {chunk_selects}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a
+            JOIN banded b ON a.ci = b.ci AND a.cv = b.cv
+                          AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, bit_count(xor(sa.sh, sb.sh))::int AS hamming
+        FROM cand
+        JOIN sig sa ON sa.doc_id = id_a
+        JOIN sig sb ON sb.doc_id = id_b
+        WHERE bit_count(xor(sa.sh, sb.sh)) <= {max_hamming}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -990,6 +1185,11 @@ def oracle_sql() -> dict[str, str]:
                        AS jaccard6
             FROM p
         """,
+        "minhash_near_dups": _minhash_near_dups_sql(),
+        "simhash_near_dups": _simhash_near_dups_sql(),
+        "ann_lsh_topk": _lsh_topk_sql(),
+        "ann_ivf_topk": _ivf_topk_sql(),
+        "embedding_near_dups": _embedding_near_dups_sql(),
         "ann_cosine_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3

@@ -150,51 +150,77 @@ def minhash_near_dups(
     )
 
 
-def simhash_udf(bits: int = 64):
-    """64-bit SimHash over whitespace tokens (vectorized numpy inner
-    loop, Arrow-batched)."""
+def simhash_udf(bits: int = 32):
+    """32-bit SimHash over whitespace-lowercased tokens.
+
+    Per-token hash bits are the MSBs of the md5 hex nibbles: bit j of
+    hash(t) = 1 iff hex digit j of md5(t) is in [8-f].  That is an
+    i.i.d. uniform bit family computable in plain SQL
+    (substr(md5(t), j+1, 1) >= '8'), so the whole operator — including
+    the banding below — replays exactly in the DuckDB oracle.
+
+    Vectorization: token→mask md5 hashing is memoized per worker (Zipf
+    token reuse makes the cache hit rate high); the per-document ±1 bit
+    accumulation is a numpy broadcast, not a Python bit loop.
+    """
     import hashlib
 
     import numpy as np
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
-    def one(text: str) -> int | None:
-        if text is None:
-            return None
-        toks = text.lower().split()
-        if not toks:
-            return 0
-        acc = np.zeros(bits, dtype=np.int64)
-        shifts = np.arange(bits, dtype=np.uint64)
-        for t in toks:
-            h = np.uint64(
-                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-            )
-            bitsarr = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-            acc += bitsarr * 2 - 1
-        v = 0
-        for i in range(bits):
-            if acc[i] > 0:
-                v |= 1 << i
-        return v - (1 << 63) if v >= (1 << 63) else v  # signed 64
+    shifts = np.arange(bits, dtype=np.uint64)
+    cache: dict[str, int] = {}
+
+    def _token_mask(t: str) -> int:
+        m = cache.get(t)
+        if m is None:
+            hx = hashlib.md5(t.encode()).hexdigest()
+            m = 0
+            for j in range(bits):
+                if hx[j] >= "8":
+                    m |= 1 << j
+            if len(cache) > 1_000_000:
+                cache.clear()
+            cache[t] = m
+        return m
 
     @pandas_udf(LongType())
     def sim(texts: pd.Series) -> pd.Series:
-        return texts.map(one).astype("Int64")
+        n = len(texts)
+        out = np.zeros(n, dtype=np.int64)
+        isnull = np.zeros(n, dtype=bool)
+        for i, text in enumerate(texts):
+            if text is None:
+                isnull[i] = True
+                continue
+            toks = text.lower().split()
+            if not toks:
+                continue
+            masks = np.fromiter(
+                (_token_mask(t) for t in toks), dtype=np.uint64, count=len(toks)
+            )
+            ones = ((masks[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            # majority vote: acc_j = 2*ones_j - n_tokens > 0
+            sig_bits = (2 * ones > len(toks)).astype(np.uint64)
+            out[i] = int((sig_bits << shifts).sum())
+        res = pd.Series(out, dtype="Int64")
+        if isnull.any():
+            res[isnull] = pd.NA
+        return res
 
     return sim
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dups: band the 64-bit hash into 4×16-bit chunks —
+    """SimHash near-dups: band the 32-bit hash into 4×8-bit chunks —
     any pair within hamming ≤ 3 shares at least one exact chunk
     (pigeonhole) — then verify hamming distance on candidates."""
     simmed = df.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("sh"))
     chunks = []
     for i in range(4):
-        chunk = F.shiftrightunsigned(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF))
+        chunk = F.shiftrightunsigned(F.col("sh"), i * 8).bitwiseAND(F.lit(0xFF))
         chunks.append(simmed.select(id_col, F.lit(i).alias("ci"), chunk.alias("cv")))
     banded = chunks[0]
     for c in chunks[1:]:

@@ -27,6 +27,11 @@ def _dot(a, b):
 
 
 def cosine(a, b):
+    # cast float32 arrays up front: element products must be computed in
+    # float64 (float32 products lose ~1e-7, visible at round(...,6) when
+    # cross-checking against a float64 engine)
+    a = a.cast("array<double>")
+    b = b.cast("array<double>")
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
@@ -80,7 +85,9 @@ def signature_udf(dim: int, n_planes: int = 12, seed: int = 42):
 
     @pandas_udf(IntegerType())
     def sig(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy())  # (n, d)
+        # float64 projections: float32 storage upcasts exactly, keeping
+        # the sign decision reproducible across engines
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, d)
         bits = (mat @ planes.T) > 0  # (n, b)
         out = np.zeros(len(mat), dtype=np.int64)
         for i in range(planes.shape[0]):
@@ -121,23 +128,26 @@ def lsh_topk(
 
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5, n_centroids: int = 16,
-    n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
-    query_id_col: str = "query_id",
+    n_probe: int = 4, n_assign: int = 2, id_col: str = "vec_id",
+    vec_col: str = "embedding", query_id_col: str = "query_id",
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into inverted lists by
     nearest centroid, probe the n_probe nearest lists per query, exact
     cosine re-rank inside them.
 
-    Centroids are a deterministic sample (the n_centroids smallest ids)
-    — no iterative k-means, so the operator is a single pass and
-    retry-stable; at 100 TB the assignment is one mapInPandas sweep and
-    the probe join shuffles only candidates, never the corpus."""
+    Centroids are a deterministic HASH-STRATIFIED sample: the
+    n_centroids rows with the smallest md5(id) — uniform over the corpus
+    regardless of id/insertion order (smallest-ids sampling correlates
+    with ingest order and collapses recall on clustered corpora).  No
+    iterative k-means, so the operator is a single pass and retry-stable;
+    at 100 TB the assignment is one mapInPandas sweep and the probe join
+    shuffles only candidates, never the corpus."""
     import numpy as np
 
     cents = [
         (r[0], np.array(r[1], dtype=np.float64))
         for r in corpus.select(id_col, vec_col)
-        .orderBy(id_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_centroids)
         .collect()
     ]
@@ -153,13 +163,19 @@ def ivf_topk(
             mat = np.stack(vecs.to_numpy()).astype(np.float64)
             mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             sims = mat @ cmat.T
-            order = np.argsort(-sims, axis=1)[:, :n]
+            # stable sort: ties break toward the lowest centroid index,
+            # matching the SQL-replayable ORDER BY sim DESC, index
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
             return pd.Series([row.astype("int32").tolist() for row in order])
 
         return lists
 
+    # multi-assignment (n_assign lists per vector): boundary neighbors
+    # land in more than one inverted list, trading n_assign× index size
+    # for recall — the standard IVF recall lever when data is spread
+    # thin across lists
     c_assigned = corpus.withColumn(
-        "__list", F.element_at(_top_lists(1)(F.col(vec_col)), 1)
+        "__list", F.explode(_top_lists(n_assign)(F.col(vec_col)))
     )
     q_probed = queries.select(
         F.col(query_id_col),
