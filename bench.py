@@ -144,13 +144,24 @@ def run_queries(spark) -> dict[str, float]:
 
 
 def config_matrix(n: int = 20000) -> dict[str, float]:
-    """Single-thread core-parser throughput across option presets
-    (⇔ the reference's benchmarks/01-parse.pl cmpthese matrix — the
-    option mix dominates parse cost there too)."""
+    """Single-thread throughput of the BATCH PARSE OPERATOR (the unit
+    of work one executor core actually runs: vectorized clean-line fast
+    path + state-machine remainder) across option presets (⇔ the
+    reference's benchmarks/01-parse.pl cmpthese matrix — the option mix
+    dominates parse cost there too).  Median of 3 passes per preset."""
+    import statistics
+
     import numpy as np
+    import pandas as pd
 
     from pysyslog.gen import GEN_NOW_EPOCH, synth_lines
     from pysyslog.options import ParserOptions
+    from pysyslog.parser import (
+        FIELD_NAMES,
+        _INT_FIELDS,
+        _fast_regex,
+        _parse_batch,
+    )
     from pysyslog.parser_core import SyslogParser
 
     base = ParserOptions(now_epoch=GEN_NOW_EPOCH)
@@ -166,13 +177,25 @@ def config_matrix(n: int = 20000) -> dict[str, float]:
         "prune_empty": base.with_(prune_empty=True),
     }
     lines, _ = synth_lines(np.arange(n))
+    raw = pd.Series(lines, dtype=object)
+    plain = [
+        f for f in FIELD_NAMES
+        if f not in _INT_FIELDS
+        and f not in ("epoch_us", "sdata", "sdata_json", "parsed_json")
+    ]
+    special = [f for f in FIELD_NAMES if f not in plain]
     out = {}
     for name, opts in presets.items():
         p = SyslogParser(opts)
-        t0 = time.time()
-        for s in lines:
-            p.parse(s)
-        out[name] = round(n / (time.time() - t0), 1)
+        rx = _fast_regex(opts)
+        _parse_batch(p, raw[:2000], opts, FIELD_NAMES, plain, special,
+                     False, rx)  # warmup
+        rates = []
+        for _ in range(3):
+            t0 = time.time()
+            _parse_batch(p, raw, opts, FIELD_NAMES, plain, special, False, rx)
+            rates.append(n / (time.time() - t0))
+        out[name] = round(statistics.median(rates), 1)
     return out
 
 

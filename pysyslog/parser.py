@@ -124,6 +124,390 @@ def record_to_row(msg: dict, emit_parsed_json: bool = False) -> tuple:
 # reused across all Arrow batches (⇔ the reference's precompiled %RE).
 _PARSER_CACHE: dict = {}
 
+# ---------------------------------------------------------------------------
+# Vectorized fast path
+#
+# The per-row state machine costs ~25µs/row in Python; the majority
+# cohort of real corpora is "clean BSD" — `Mmm dd HH:MM:SS host prog[pid]:
+# content` with nothing for the later stages (no PRI, no relay/Cisco,
+# no SDATA/JSON/KV applicable under the active options).  For that
+# cohort every output field is computable from ONE anchored regex ran
+# batch-wise by pandas' C engine (`str.extract`), with datetimes
+# resolved once per unique raw timestamp through the parser's memo.
+# Rows that don't match (or whose content could trigger a detection
+# stage) take the state machine unchanged, so outputs are identical —
+# asserted by tests/test_parser_spark.py::test_fast_path_equals_slow.
+#
+# Only enabled when emit_parsed_json=False: the fast path reproduces
+# column values, not the reference's present-key hash semantics.
+# ---------------------------------------------------------------------------
+
+# program names that the reference's severity-word filter would drop
+# (Line.pm:884: tokens that are priority names are removed from the tag)
+from .tables import INT_PRIORITY as _PRIO_WORDS
+
+
+def _fast_regex(options: ParserOptions):
+    """Anchored clean-BSD matcher for the active options, or None when
+    the option set can't take the fast path at all."""
+    if (
+        not options.date_parsing
+        or not options.extract_program
+        or options.fmt_date is not None
+    ):
+        return None
+    # content may not contain anything a later stage would consume:
+    # '[' guards both SDATA forms, '{' the JSON detector (only when
+    # enabled), '=' the K/V detector (only when enabled)
+    excl = "\\[\\n"
+    if options.auto_detect_json:
+        excl += "{"
+    if options.auto_detect_key_values:
+        excl += "="
+    import re as _re
+
+    # dt: plain BSD (no year prefix / fraction) or ISO8601 — same shapes
+    # the slow path's RE_DATE_BSD / RE_DATE_ISO would consume.
+    # host: either a bare IPv4 (host==host_raw, no domain split) or
+    # dotted labels that each start with a letter — such a string cannot
+    # contain an IPv4 substring (needs digit.digit), so the slow path's
+    # IP-in-host special case is provably inert on this cohort.
+    # program: a leading-/ path (keeps '/' without the name/sub split,
+    # ⇔ Line.pm name.startswith('/') rule) or a letter-led token with
+    # no '/' (so the split rule can't fire); the letter-led start also
+    # makes the relay and Cisco stages no-ops (both need digit/ws/':').
+    return _re.compile(
+        r"^(?:<(?P<pre>\d{1,3})>)?"
+        r"(?P<dt>[A-Z][a-z]{2}\s+\d{1,2}\s+\d{2}:\d{2}:\d{2}"
+        r"|\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}\S*)"
+        r"\s(?P<host>\d{1,3}(?:\.\d{1,3}){3}"
+        r"|[A-Za-z][A-Za-z0-9_-]*(?:\.[A-Za-z][A-Za-z0-9_-]*)*)"
+        r"\s(?P<praw>(?P<prog>/[A-Za-z0-9._/-]+|[A-Za-z][A-Za-z0-9._-]*)"
+        r"(?:\[(?P<pid>[^\]]+)\])?)"
+        r":\s+(?P<content>[^" + excl + r"]*)$"
+    )
+
+
+_RE_ISO_VEC = None
+
+
+def _iso_vec_regex():
+    global _RE_ISO_VEC
+    if _RE_ISO_VEC is None:
+        import re as _re
+
+        _RE_ISO_VEC = _re.compile(
+            r"^(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2}):(\d{2})"
+            r"(?:\.(\d{3}|\d{6}))?(Z|[+-]\d{2}:?\d{2})?$"
+        )
+    return _RE_ISO_VEC
+
+
+_DIM_VEC = None
+
+
+def _days_in_month_vec(y, mo):
+    import numpy as np
+
+    global _DIM_VEC
+    if _DIM_VEC is None:
+        _DIM_VEC = np.array([31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31])
+    dim = _DIM_VEC[np.clip(mo, 1, 12) - 1].copy()
+    leap = (y % 4 == 0) & ((y % 100 != 0) | (y % 400 == 0))
+    dim[(mo == 2) & leap] = 29
+    return dim
+
+
+def _iso_dt_tuples(parser, dts):
+    """Vectorized datetime derivation for ISO-form datetime_raw strings
+    (offset given or UTC; 0/3/6-digit fractions whose 3/6/9 shortest-
+    exact rendering is the identity).  Rows outside that envelope fall
+    back to the per-row memoized path, so output is identical either
+    way.  Returns a list of field tuples aligned with `dts`.
+
+    Rendering datetime_utc is the only real work: epoch seconds come
+    from branchless civil-date arithmetic on integer arrays, and
+    np.datetime_as_string emits the YYYY-MM-DDTHH:MM:SS prefix in C."""
+    import numpy as np
+
+    n = len(dts)
+    out = [None] * n
+    g = pd.Series(dts, dtype=object).str.extract(_iso_vec_regex())
+    frac = g[6]
+    off = g[7]
+    ok = g[0].notna()
+    # 6-digit fractions ending 000 re-render as 3 digits (not identity)
+    ok &= ~(frac.notna() & (frac.str.len() == 6) & frac.str.endswith("000"))
+    okv = ok.to_numpy()
+    if okv.any():
+        idx = np.flatnonzero(okv)
+        y = g[0].iloc[idx].to_numpy(dtype="int64")
+        mo = g[1].iloc[idx].to_numpy(dtype="int64")
+        d = g[2].iloc[idx].to_numpy(dtype="int64")
+        h = g[3].iloc[idx].to_numpy(dtype="int64")
+        mi = g[4].iloc[idx].to_numpy(dtype="int64")
+        s = g[5].iloc[idx].to_numpy(dtype="int64")
+        valid = (
+            (mo >= 1) & (mo <= 12) & (d >= 1) & (h <= 23) & (mi <= 59) & (s <= 59)
+        )
+        valid &= d <= _days_in_month_vec(y, mo)
+        offs = off.iloc[idx]
+        offv = np.zeros(len(idx), dtype="int64")
+        nz = (offs.notna() & (offs != "Z")).to_numpy()
+        if nz.any():
+            ostr = offs.to_numpy(dtype=object)[nz]
+            offv[nz] = np.array(
+                [
+                    (-1 if o[0] == "-" else 1)
+                    * (int(o[1:3]) * 60 + int(o.replace(":", "")[3:5]))
+                    for o in ostr
+                ],
+                dtype="int64",
+            )
+        # branchless civil-date arithmetic (vector twin of
+        # parser_core._days_from_civil)
+        yy = y - (mo <= 2)
+        era = yy // 400
+        yoe = yy - era * 400
+        doy = (153 * (mo + np.where(mo > 2, -3, 9)) + 2) // 5 + d - 1
+        doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+        days = era * 146097 + doe - 719468
+        sec = days * 86400 + h * 3600 + mi * 60 + s - offv * 60
+        base = np.datetime_as_string(sec.astype("datetime64[s]"), unit="s")
+        fr = frac.iloc[idx].tolist()
+        fracdot = np.array(
+            ["" if f != f else "." + f for f in fr], dtype=object
+        )
+        frus = np.array(
+            [0 if f != f else int(str(f).ljust(6, "0")) for f in fr],
+            dtype="int64",
+        )
+        utc = np.char.add(np.char.add(base, fracdot.astype(str)), "Z")
+        off0 = offv == 0
+        sec_str = sec.astype(str)
+        epoch_str = np.char.add(sec_str, fracdot.astype(str))
+        epoch_us = sec * 1_000_000 + frus
+        # non-zero offsets: wall components are the input's own fields
+        time_part = np.char.add(
+            np.array([f"{a:02d}:{b:02d}:{c:02d}" for a, b, c in zip(h, mi, s)]),
+            fracdot.astype(str),
+        )
+        date_part = np.array([f"{a:04d}-{b:02d}-{c:02d}" for a, b, c in zip(y, mo, d)])
+        offnorm = np.array(
+            [
+                "Z" if z else (o[0] + o.replace(":", "")[1:5])
+                for z, o in zip(off0, offs.to_numpy(dtype=object))
+            ],
+            dtype=object,
+        )
+        dstr = np.where(
+            off0, utc,
+            np.char.add(
+                np.char.add(np.char.add(date_part, "T"), time_part),
+                offnorm.astype(str),
+            ),
+        )
+        date_out = np.where(off0, base.astype("U10"), date_part)
+        # reference time = datetime_str split on [ T] then [+-Z]: the
+        # wall-clock time incl. fraction on both branches
+        time_utc = np.array([b[11:] for b in base], dtype=object)
+        time_out = np.where(
+            off0, np.char.add(time_utc.astype(str), fracdot.astype(str)), time_part
+        )
+        for j, i in enumerate(idx):
+            if valid[j]:
+                out[i] = (
+                    epoch_str[j], utc[j], utc[j], dstr[j], offnorm[j],
+                    date_out[j], time_out[j], int(epoch_us[j]),
+                )
+    # fallback rows: per-row memoized derivation (identical output)
+    for i in range(n):
+        if out[i] is None:
+            dd = parser.dt_fields(dts[i])
+            out[i] = (
+                dd["epoch"], dd["datetime_utc"], dd["datetime_local"],
+                dd["datetime_str"], dd["tz"], dd["date"], dd["time"],
+                _epoch_us(dd["epoch"]),
+            )
+    return out
+
+
+def _fast_cols(parser, raw_list, ext: pd.DataFrame, options,
+               field_names) -> dict:
+    """Column lists for fast-path rows.  Single-pass list assembly —
+    no per-field pandas .map (each would cost a Python call per row)."""
+    n = len(ext)
+    cols: dict[str, list] = {f: [None] * n for f in field_names}
+    dt_list = ext["dt"].tolist()
+    bsd_mask = [s[0].isalpha() for s in dt_list]
+    vec_ok = (
+        parser.local_offset_min == 0
+        and parser._tm_render is None
+        and not all(bsd_mask)
+    )
+    if vec_ok:
+        # BSD strings repeat heavily -> memo; ISO strings are near-unique
+        # (micros) -> vectorized derivation
+        tups: list = [None] * n
+        iso_pos = [i for i, b in enumerate(bsd_mask) if not b]
+        iso_tups = _iso_dt_tuples(parser, [dt_list[i] for i in iso_pos])
+        for j, i in enumerate(iso_pos):
+            tups[i] = iso_tups[j]
+        for i, b in enumerate(bsd_mask):
+            if b:
+                d = parser.dt_fields(dt_list[i])
+                tups[i] = (
+                    d["epoch"], d["datetime_utc"], d["datetime_local"],
+                    d["datetime_str"], d["tz"], d["date"], d["time"],
+                    _epoch_us(d["epoch"]),
+                )
+    else:
+        # one datetime resolution per unique raw timestamp (parser memo)
+        table: dict = {}
+        for s in dt_list:
+            if s not in table:
+                d = parser.dt_fields(s)
+                table[s] = (
+                    d["epoch"], d["datetime_utc"], d["datetime_local"],
+                    d["datetime_str"], d["tz"], d["date"], d["time"],
+                    _epoch_us(d["epoch"]),
+                )
+        tups = [table[s] for s in dt_list]
+    (cols["epoch"], cols["datetime_utc"], cols["datetime_local"],
+     cols["datetime_str"], cols["tz"], cols["date"], cols["time"],
+     cols["epoch_us"]) = (list(t) for t in zip(*tups))
+    cols["message_raw"] = raw_list
+    cols["datetime_raw"] = dt_list
+    # PRI preamble (⇔ Line.pm:719-731): arithmetic + name lookup,
+    # resolved once per distinct preamble value
+    from .tables import FACILITY_NAMES, FACILITY_MASK, PRIORITY_MASK, PRIORITY_NAMES
+
+    ptab: dict = {None: (None,) * 5}
+    pres = []
+    for s in ext["pre"].tolist():
+        if s != s:  # NaN
+            s = None
+        t = ptab.get(s)
+        if t is None:
+            p = int(s)
+            pi, fi = p & PRIORITY_MASK, p & FACILITY_MASK
+            t = ptab[s] = (p, pi, fi, PRIORITY_NAMES.get(pi), FACILITY_NAMES.get(fi))
+        pres.append(t)
+    (cols["preamble"], cols["priority_int"], cols["facility_int"],
+     cols["priority"], cols["facility"]) = (list(t) for t in zip(*pres))
+    # host: IPv4 (digit-led) keeps the whole string, no domain split
+    # (⇔ Line.pm:841-844); named hosts split host/domain on first '.'
+    hosts = ext["host"].tolist()
+    host_out, dom_out = cols["host"], cols["domain"]
+    for i, h in enumerate(hosts):
+        if h[0].isdigit():
+            host_out[i] = h
+        else:
+            a, sep, b = h.partition(".")
+            host_out[i] = a
+            if sep:
+                dom_out[i] = b
+    cols["host_raw"] = hosts
+    praw = ext["praw"].tolist()
+    cols["program_raw"] = praw
+    cols["program_name"] = ext["prog"].tolist()
+    cols["program_pid"] = [p if isinstance(p, str) else None
+                           for p in ext["pid"].tolist()]
+    content = ext["content"].tolist()
+    cols["content"] = content
+    cols["message"] = [f"{p}: {c}" for p, c in zip(praw, content)]
+    # prunes (⇔ Line.pm:999-1009)
+    if options.prune_empty:
+        cols["content"] = [c if c != "" else None for c in content]
+    if options.prune_raw:
+        for f in ("message_raw", "host_raw", "program_raw", "datetime_raw"):
+            cols[f] = [None] * n
+    for f in options.prune_fields:
+        if f in cols:
+            cols[f] = [None] * n
+    if not options.epoch_create:
+        cols["epoch"] = [None] * n
+        cols["epoch_us"] = [None] * n
+    return cols
+
+
+def _slow_cols(parser, raw_list, field_names, plain_fields, special,
+               emit_parsed_json) -> dict:
+    parse = parser.parse
+    cols: dict[str, list] = {f: [] for f in field_names}
+    plain_appends = [(f, cols[f].append) for f in plain_fields]
+    # the special fields are fixed; inline their common cases instead of
+    # dispatching through _field_value (8 Python calls per row)
+    int_appends = [(f, cols[f].append) for f in
+                   ("preamble", "version", "priority_int", "facility_int")]
+    a_epoch_us = cols["epoch_us"].append
+    a_sdata = cols["sdata"].append
+    a_sdata_json = cols["sdata_json"].append
+    a_parsed = cols["parsed_json"].append
+    null_msg: dict = {}
+    for s in raw_list:
+        msg = parse(s) if s is not None else null_msg
+        get = msg.get
+        for f, append in plain_appends:
+            v = get(f)
+            append(str(v) if v is not None and not isinstance(v, str) else v)
+        for f, append in int_appends:
+            v = get(f)
+            append(v if type(v) is int else None)
+        a_epoch_us(_epoch_us(get("epoch")))
+        sdata = get("SDATA")
+        if sdata is None:
+            a_sdata(None)
+            a_sdata_json(None)
+        else:
+            a_sdata(_field_value(msg, "sdata", False))
+            a_sdata_json(_field_value(msg, "sdata_json", False))
+        a_parsed(canonical_json(msg) if emit_parsed_json else None)
+    return cols
+
+
+def _slow_frame(parser, raw: pd.Series, field_names, plain_fields, special,
+                emit_parsed_json) -> pd.DataFrame:
+    cols = _slow_cols(parser, raw.tolist(), field_names, plain_fields,
+                      special, emit_parsed_json)
+    return pd.DataFrame(cols, index=raw.index, columns=field_names)
+
+
+def _parse_batch(parser, raw: pd.Series, options, field_names, plain_fields,
+                 special, emit_parsed_json, fast_re) -> pd.DataFrame:
+    """Split a batch into the vectorized clean-line cohort and the
+    state-machine remainder; outputs are row-identical either way."""
+    import numpy as np
+
+    if fast_re is None or emit_parsed_json or len(raw) == 0:
+        return _slow_frame(parser, raw, field_names, plain_fields, special,
+                           emit_parsed_json)
+    ext = raw.str.extract(fast_re)
+    mask = (ext["prog"].notna() & ~ext["prog"].isin(_PRIO_WORDS)).to_numpy()
+    frac = mask.mean()
+    if frac < 0.15:
+        # cohort too thin to amortize the vectorized assembly
+        return _slow_frame(parser, raw, field_names, plain_fields, special,
+                           emit_parsed_json)
+    raw_arr = np.asarray(raw.tolist(), dtype=object)
+    if frac == 1.0:
+        cols = _fast_cols(parser, list(raw_arr), ext, options, field_names)
+        return pd.DataFrame(cols, index=raw.index, columns=field_names)
+    pos_fast = np.flatnonzero(mask)
+    pos_slow = np.flatnonzero(~mask)
+    fast = _fast_cols(parser, list(raw_arr[pos_fast]), ext[mask], options,
+                      field_names)
+    slow = _slow_cols(parser, list(raw_arr[pos_slow]), field_names,
+                      plain_fields, special, emit_parsed_json)
+    out: dict = {}
+    n = len(raw)
+    for f in field_names:
+        arr = np.empty(n, dtype=object)
+        arr[pos_fast] = fast[f]
+        arr[pos_slow] = slow[f]
+        out[f] = arr
+    return pd.DataFrame(out, index=raw.index, columns=field_names)
+
 
 def _get_parser(options: ParserOptions) -> SyslogParser:
     key = (options,)
@@ -155,24 +539,13 @@ def make_parse_udf(options: ParserOptions, emit_parsed_json: bool = False):
         and f not in ("epoch_us", "sdata", "sdata_json", "parsed_json")
     ]
     special = [f for f in FIELD_NAMES if f not in plain_fields]
+    fast_re = None if emit_parsed_json else _fast_regex(options)
 
     @pandas_udf(SYSLOG_SCHEMA)
     def parse_udf(raw: pd.Series) -> pd.DataFrame:
         parser = _get_parser(options)
-        parse = parser.parse
-        cols: dict[str, list] = {f: [] for f in FIELD_NAMES}
-        plain_appends = [(f, cols[f].append) for f in plain_fields]
-        special_appends = [(f, cols[f].append) for f in special]
-        null_msg: dict = {}
-        for s in raw:
-            msg = parse(s) if s is not None else null_msg
-            get = msg.get
-            for f, append in plain_appends:
-                v = get(f)
-                append(str(v) if v is not None and not isinstance(v, str) else v)
-            for f, append in special_appends:
-                append(_field_value(msg, f, emit_parsed_json))
-        return pd.DataFrame(cols, columns=FIELD_NAMES)
+        return _parse_batch(parser, raw, options, FIELD_NAMES, plain_fields,
+                            special, emit_parsed_json, fast_re)
 
     return parse_udf
 
@@ -189,7 +562,6 @@ def make_parse_tokens_udf(options: ParserOptions, emit_parsed_json: bool = False
         raise ValueError("options.now_epoch must be pinned (see make_parse_udf)")
 
     schema = StructType(SYSLOG_SCHEMA.fields + [StructField("raw", StringType())])
-    field_names = FIELD_NAMES + ["raw"]
     plain_fields = [
         f
         for f in FIELD_NAMES
@@ -197,30 +569,25 @@ def make_parse_tokens_udf(options: ParserOptions, emit_parsed_json: bool = False
         and f not in ("epoch_us", "sdata", "sdata_json", "parsed_json")
     ]
     special = [f for f in FIELD_NAMES if f not in plain_fields]
+    fast_re = None if emit_parsed_json else _fast_regex(options)
 
     @pandas_udf(schema)
     def parse_tokens_udf(tokens: pd.Series) -> pd.DataFrame:
         parser = _get_parser(options)
-        parse = parser.parse
-        cols: dict[str, list] = {f: [] for f in field_names}
-        plain_appends = [(f, cols[f].append) for f in plain_fields]
-        special_appends = [(f, cols[f].append) for f in special]
-        raw_append = cols["raw"].append
-        null_msg: dict = {}
-        for arr in tokens:
-            if arr is None:
-                s, msg = None, null_msg
-            else:
-                s = np.asarray(arr, dtype=np.uint8).tobytes().decode("utf-8", "strict")
-                msg = parse(s)
-            raw_append(s)
-            get = msg.get
-            for f, append in plain_appends:
-                v = get(f)
-                append(str(v) if v is not None and not isinstance(v, str) else v)
-            for f, append in special_appends:
-                append(_field_value(msg, f, emit_parsed_json))
-        return pd.DataFrame(cols, columns=field_names)
+        raw = pd.Series(
+            [
+                None
+                if arr is None
+                else np.asarray(arr, dtype=np.uint8).tobytes().decode("utf-8", "strict")
+                for arr in tokens
+            ],
+            index=tokens.index,
+            dtype=object,
+        )
+        out = _parse_batch(parser, raw, options, FIELD_NAMES, plain_fields,
+                           special, emit_parsed_json, fast_re)
+        out["raw"] = raw
+        return out
 
     return parse_tokens_udf
 

@@ -378,6 +378,12 @@ class SyslogParser:
             if self.opts.time_format == _DEFAULT_TIME_FORMAT
             else _compile_tm_format(self.opts.time_format)
         )
+        # datetime render memo: every derived field (epoch, the three
+        # rendered strings, tz, date, time) is a pure function of
+        # datetime_raw given (options, now) — both fixed for this
+        # instance — and log corpora repeat timestamps heavily (many
+        # lines per second), so one render serves the whole cluster.
+        self._dt_cache: dict = {}
 
     # -- datetime ----------------------------------------------------------
 
@@ -501,6 +507,45 @@ class SyslogParser:
             return None
         return sec * NS + ns, offset_min
 
+    def dt_fields(self, datetime_raw: str, bsd_groups=None) -> dict:
+        """Memoized datetime derivation: every derived field (epoch,
+        datetime_utc/local/str, tz, date, time) is a pure function of
+        datetime_raw for this (options, now) instance.  Called from the
+        per-row state machine and from the vectorized fast path (which
+        resolves each unique timestamp once per batch)."""
+        cached = self._dt_cache.get(datetime_raw)
+        if cached is None:
+            if bsd_groups is None:
+                m = RE_DATE_BSD.match(datetime_raw)
+                bsd_groups = m.groups() if m and m.end() == len(datetime_raw) else None
+            if bsd_groups is not None:
+                tm = self._parse_bsd_datetime(bsd_groups)
+            else:
+                tm = self._parse_iso_datetime(datetime_raw)
+            if tm is None:
+                # fallback: "now" (:808-809)
+                tm = (int(self.now_epoch * NS), self.local_offset_min)
+            cached = {}
+            self._render_datetime(cached, *tm)
+            # date/time split (:820-824).  The default rendered form is
+            # always YYYY-MM-DDTHH:MM:SS[.frac](Z|±hhmm) with no +,-,Z
+            # inside the time part, so slicing is exactly the
+            # reference's split-on-[ T]-then-[+\-Z]; a custom format
+            # needs the faithful generic split.
+            ds = cached["datetime_str"]
+            if self._tm_render is None:
+                cached["date"] = ds[:10]
+                cached["time"] = ds[11:-1] if ds[-1] == "Z" else ds[11:-5]
+            else:
+                parts = RE_SPLIT_DT.split(ds)
+                cached["date"] = parts[0]
+                t = parts[1] if len(parts) > 1 else None
+                cached["time"] = RE_SPLIT_TIME.split(t)[0] if t is not None else None
+            if len(self._dt_cache) > 200_000:
+                self._dt_cache.clear()
+            self._dt_cache[datetime_raw] = cached
+        return cached
+
     # -- main entry ---------------------------------------------------------
 
     def parse(self, raw_string: str) -> dict:
@@ -564,30 +609,7 @@ class SyslogParser:
                             RE_SPLIT_TIME.split(t)[0] if t is not None else None
                         )
                 else:
-                    if bsd_groups is not None:
-                        tm = self._parse_bsd_datetime(bsd_groups)
-                    else:
-                        tm = self._parse_iso_datetime(msg["datetime_raw"])
-                    if tm is None:
-                        # fallback: "now" (:808-809)
-                        tm = (int(self.now_epoch * NS), self.local_offset_min)
-                    self._render_datetime(msg, *tm)
-                    # date/time split (:820-824).  The default rendered
-                    # form is always YYYY-MM-DDTHH:MM:SS[.frac](Z|±hhmm)
-                    # with no +,-,Z inside the time part, so slicing is
-                    # exactly the reference's split-on-[ T]-then-[+\-Z];
-                    # a custom format needs the faithful generic split.
-                    ds = msg["datetime_str"]
-                    if self._tm_render is None:
-                        msg["date"] = ds[:10]
-                        msg["time"] = ds[11:-1] if ds[-1] == "Z" else ds[11:-5]
-                    else:
-                        parts = RE_SPLIT_DT.split(ds)
-                        msg["date"] = parts[0]
-                        t = parts[1] if len(parts) > 1 else None
-                        msg["time"] = (
-                            RE_SPLIT_TIME.split(t)[0] if t is not None else None
-                        )
+                    msg.update(self.dt_fields(msg["datetime_raw"], bsd_groups))
 
         # Host (:837-850)
         m = RE_HOST.match(raw)

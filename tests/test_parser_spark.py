@@ -80,3 +80,96 @@ def test_unpinned_now_rejected(spark):
     df = spark.createDataFrame([("x",)], "raw string")
     with pytest.raises(ValueError, match="now_epoch"):
         parse_syslog(df, "raw", ParserOptions())
+
+
+def test_fast_path_equals_slow_on_mixed_corpus():
+    """The vectorized clean-BSD cohort must produce column-identical
+    output to the state machine, across option sets, on the full
+    generator mix plus handcrafted edge lines."""
+    import numpy as np
+    import pandas as pd
+
+    from pysyslog.gen import GEN_NOW_EPOCH, synth_lines
+    from pysyslog.options import ParserOptions
+    from pysyslog.parser import (
+        FIELD_NAMES,
+        _INT_FIELDS,
+        _fast_regex,
+        _parse_batch,
+        _slow_frame,
+    )
+    from pysyslog.parser_core import SyslogParser
+
+    lines, _ = synth_lines(np.arange(4000), seed=7)
+    lines += [
+        "Jun  1 12:00:00 host1 app:  double-space content",
+        "Jun  1 12:00:00 host1 app: ",            # empty content
+        "Jun  1 12:00:00 host1 info: priority-word program",
+        "Jun  1 12:00:00 host1 app[12a]: odd pid",
+        "Jun  1 12:00:00 host1 app[]: empty pid",
+        "Jun  1 12:00:00 host1 a/b: sub split",
+        "Jun  1 12:00:00 host.dom app: domain host",
+        "Jun  1 12:00:00 host1 app no-colon tail",
+        "Jun  1 12:00:00  host1 app: double gap",
+        "Jun  1 12:00:00 host1 app: tail [k=v]",
+        "Jun  1 12:00:00 host1 app: json {\"a\":1}",
+        "Jun  1 12:00:00 host1 app: kv a=1 b=2",
+        "<21>Jun  1 12:00:00 host1 app[9]: with pri",
+        "2018-06-01T12:34:56Z host1 app: iso z",
+        "2018-06-01 12:34:56Z host1 app: iso space sep",
+        "2018-06-01T12:34:56.123+02:00 host1 app: iso offset frac",
+        "2018-06-01T12:34:56.123456-05:30 host1 app: iso micros neg",
+        "2018-06-01T12:34:56.120000+02:00 host1 app: frac trailing zeros",
+        "2018-06-01T12:34:56+0000 host1 app: compact zero offset",
+        "2018-06-01T12:34:56+05 host1 app: hour-only offset",
+        "2018-99-99T99:99:99Z host1 app: invalid components",
+        "2018-02-29T01:02:03Z host1 app: non-leap feb 29",
+        "2018-06-01T23:59:59-01:00 host1 app: date rollover",
+        "<0>Jun  1 12:00:00 host1 app: kern emerg",
+        "<200>Jun  1 12:00:00 host1 app: unnamed facility",
+        "<13> Jun  1 12:00:00 host1 app: space after pri",
+        "Jun  1 12:00:00 fq.example.com app: dotted host",
+        "Jun  1 12:00:00 web1.srv42.example app: deep domain",
+        "Jun  1 12:00:00 10.1.2.3 app: ip host",
+        "Jun  1 12:00:00 box1.2.3.4 app: ip-in-host",
+        None,
+    ]
+    plain = [
+        f for f in FIELD_NAMES
+        if f not in _INT_FIELDS
+        and f not in ("epoch_us", "sdata", "sdata_json", "parsed_json")
+    ]
+    special = [f for f in FIELD_NAMES if f not in plain]
+    option_sets = [
+        ParserOptions(now_epoch=GEN_NOW_EPOCH),
+        ParserOptions(now_epoch=GEN_NOW_EPOCH, auto_detect_json=True,
+                      auto_detect_key_values=True),
+        ParserOptions(now_epoch=GEN_NOW_EPOCH, prune_raw=True,
+                      prune_empty=True, prune_fields=("tz",)),
+        ParserOptions(now_epoch=GEN_NOW_EPOCH, epoch_create=False),
+    ]
+    raw = pd.Series(lines, dtype=object)
+    for opts in option_sets:
+        fast_re = _fast_regex(opts)
+        assert fast_re is not None
+        got = _parse_batch(SyslogParser(opts), raw, opts, FIELD_NAMES,
+                           plain, special, False, fast_re)
+        want = _slow_frame(SyslogParser(opts), raw, FIELD_NAMES, plain,
+                           special, False)
+        def _n(v):
+            # None and NaN are both Arrow nulls; ints may ride as floats
+            if v is None or (isinstance(v, float) and v != v):
+                return "\0"
+            if isinstance(v, float) and v == int(v):
+                return int(v)
+            return v
+
+        for f in FIELD_NAMES:
+            g = [_n(v) for v in got[f].tolist()]
+            w = [_n(v) for v in want[f].tolist()]
+            assert g == w, (opts, f, [(i, a, b) for i, (a, b) in
+                                      enumerate(zip(g, w)) if a != b][:3])
+    # the cohort must actually engage for the default option set (the
+    # detection-enabled sets legitimately exclude '='/'{' content)
+    mask = raw.str.extract(_fast_regex(option_sets[0]))["prog"].notna()
+    assert mask.mean() > 0.3, mask.mean()
