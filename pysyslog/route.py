@@ -29,25 +29,32 @@ def route_by_facility_severity(
     mode: str = "overwrite",
     max_records_per_file: int = 1_000_000,
     files_per_sink: int = 4,
+    iceberg_table: str | None = None,
 ) -> str:
     """Repartitions on (sink keys, bounded salt) before the partitioned
     write: without it every write task opens a parquet writer for every
     sink it sees (tasks × sinks tiny files — measured 4x slower at
     bench scale); with it each sink is written by ≤ files_per_sink
     tasks, and the salt keeps one hot sink from serializing into a
-    single task."""
+    single task.
+
+    With an Iceberg runtime on the classpath and `iceberg_table` given,
+    the identical DataFrame goes through `writeTo(...)` with identity
+    partition transforms instead (pysyslog.iceberg) — snapshot commits,
+    same plan shape."""
+    from .iceberg import write_partitioned
+
     path = os.path.join(out_dir, "by_facility_severity")
     salt = F.pmod(F.xxhash64("doc_id"), F.lit(files_per_sink))
-    (
+    routed = (
         enriched.withColumn("facility_name", F.coalesce("facility_name", F.lit("__unknown")))
         .withColumn("severity_name", F.coalesce("severity_name", F.lit("__unknown")))
         .repartition(F.col("facility_name"), F.col("severity_name"), salt)
-        .write.mode(mode)
-        .option("maxRecordsPerFile", max_records_per_file)
-        .partitionBy(*ROUTE_COLS)
-        .parquet(path)
     )
-    return path
+    return write_partitioned(
+        routed, path, ROUTE_COLS, iceberg_table=iceberg_table, mode=mode,
+        max_records_per_file=max_records_per_file,
+    )
 
 
 def route_by_program(
