@@ -534,6 +534,18 @@ def q_simhash_near_dups(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: MinHash pairs → connected components
+    (min-label propagation); oracled by a DuckDB recursive CTE over the
+    same SQL-replayed pair graph."""
+    from pysyslog.dedup import near_dup_clusters
+
+    docs = _read(spark, sf_dir, "documents")
+    return near_dup_clusters(docs, threshold=0.5).select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard on deterministic adjacent-id pairs."""
     from pysyslog.dedup import jaccard_pairs
@@ -658,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         # rows-only (no oracle): LSH pipelines + full syslog slice
         "minhash_near_dups": q_minhash_near_dups,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -842,6 +855,27 @@ def _minhash_near_dups_sql(threshold: float = 0.5, num_hashes: int = 16,
         JOIN sh sb ON sb.doc_id = id_b
         WHERE 1.0 * len(list_intersect(sa.s, sb.s))
                   / greatest(len(list_distinct(sa.s || sb.s)), 1) >= {threshold}
+    """
+
+
+def _dedup_clusters_sql(threshold: float = 0.5) -> str:
+    """Connected components via recursive CTE over the replayed MinHash
+    pair graph: comp(node) = min id reachable from node."""
+    pairs_sql = _minhash_near_dups_sql(threshold)
+    return f"""
+        WITH RECURSIVE pairs AS (
+            {pairs_sql}
+        ), e AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION
+            SELECT id_b AS s, id_a AS d FROM pairs
+        ), reach(node, comp) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.d, r.comp FROM reach r JOIN e ON e.s = r.node
+        )
+        SELECT node AS doc_id, min(comp)::bigint AS cluster_id
+        FROM reach GROUP BY node
     """
 
 
@@ -1186,6 +1220,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         "minhash_near_dups": _minhash_near_dups_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "simhash_near_dups": _simhash_near_dups_sql(),
         "ann_lsh_topk": _lsh_topk_sql(),
         "ann_ivf_topk": _ivf_topk_sql(),

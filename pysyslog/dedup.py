@@ -268,3 +268,82 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
         .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame, nodes: DataFrame | None = None,
+    id_col_a: str = "id_a", id_col_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph by min-label
+    propagation: each iteration every node adopts the smallest label in
+    its closed neighborhood, converging in O(graph diameter) rounds.
+
+    Scale shape: no driver-side graph — one round is a bounded-size
+    join (|E| rows) plus a groupBy, both plain hash-shuffles on node
+    ids; the driver only checks the converged-row count per round (an
+    iterative algorithm's loop belongs on the driver, its DATA never
+    does).  Near-dup graphs have tiny diameters (clusters of copies),
+    so rounds ≈ 2-3 in practice; `max_iterations` bounds adversarial
+    chains.  Labels persist per round and unpersist the previous round
+    so lineage and memory stay O(1) across iterations.
+
+    Returns (node, component) for every node in `nodes` (or every node
+    appearing in `pairs` when nodes is None); component = min node id
+    in the component.
+    """
+    edges = (
+        pairs.select(F.col(id_col_a).alias("s"), F.col(id_col_b).alias("d"))
+        .unionByName(
+            pairs.select(F.col(id_col_b).alias("s"), F.col(id_col_a).alias("d"))
+        )
+        .distinct()
+    )
+    if nodes is None:
+        nodes = edges.select(F.col("s").alias("node")).distinct()
+    labels = nodes.select(F.col("node"), F.col("node").alias("comp")).persist()
+    labels.count()
+    edges = edges.persist()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["s"] == labels["node"])
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") < F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def near_dup_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    threshold: float = 0.7, num_hashes: int = 16,
+    bands: int = 4, rows_per_band: int = 4,
+) -> DataFrame:
+    """Document → dedup-cluster assignment: MinHash near-dup pairs →
+    connected components; singletons keep their own id as cluster."""
+    pairs = minhash_near_dups(df, text_col, id_col, threshold,
+                              num_hashes, bands, rows_per_band)
+    comps = connected_components(
+        pairs.select("id_a", "id_b"), nodes=df.select(F.col(id_col).alias("node"))
+    )
+    return comps.select(
+        F.col("node").alias(id_col), F.col("comp").alias("cluster_id")
+    )

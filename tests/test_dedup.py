@@ -81,3 +81,34 @@ def test_simhash_near_dups(spark):
     assert pairs[frozenset((0, 1))] == 0
     assert pairs[frozenset((0, 4))] == 0
     assert frozenset((0, 3)) not in pairs
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 4-node chain must collapse to one component (propagation runs
+    past one hop), disjoint pairs stay separate, singletons keep
+    their own id."""
+    from pysyslog.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]],
+                                  "node long")
+    got = {r["node"]: r["comp"]
+           for r in connected_components(pairs, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_near_dup_clusters_covers_all_docs(spark):
+    from pysyslog.dedup import minhash_near_dups, near_dup_clusters
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    clusters = near_dup_clusters(docs, threshold=0.5)
+    n_docs = docs.count()
+    rows = clusters.collect()
+    assert len(rows) == n_docs
+    by_doc = {r["doc_id"]: r["cluster_id"] for r in rows}
+    # every near-dup pair is in one cluster, labeled by the min member
+    for p in minhash_near_dups(docs, threshold=0.5).collect():
+        assert by_doc[p["id_a"]] == by_doc[p["id_b"]]
+    assert all(c <= d for d, c in by_doc.items())
