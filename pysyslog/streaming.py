@@ -42,11 +42,11 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def reassemble_stream(lines: DataFrame, timeout_ms: int = 60_000) -> DataFrame:
-    """Stateful streaming reassembly of (source, line_no, line) into
-    logical records.  State per source = the pending record buffer
-    (⇔ the module-level $buffer, Line.pm:1045); a processing-time
-    timeout drains it (⇔ the final no-arg call, Line.pm:1062-1065)."""
+def make_reassemble_fn(timeout_ms: int = 60_000):
+    """State-transition function for streaming reassembly — exposed so
+    the timeout/counter semantics are unit-testable against a mock
+    GroupState (Spark gives no deterministic way to force a
+    processing-time timeout inside a test)."""
     import pandas as pd
 
     def fn(key, pdfs, state: GroupState):
@@ -90,8 +90,16 @@ def reassemble_stream(lines: DataFrame, timeout_ms: int = 60_000) -> DataFrame:
                 }
             )
 
+    return fn
+
+
+def reassemble_stream(lines: DataFrame, timeout_ms: int = 60_000) -> DataFrame:
+    """Stateful streaming reassembly of (source, line_no, line) into
+    logical records.  State per source = the pending record buffer
+    (⇔ the module-level $buffer, Line.pm:1045); a processing-time
+    timeout drains it (⇔ the final no-arg call, Line.pm:1062-1065)."""
     return lines.groupBy("source").applyInPandasWithState(
-        fn,
+        make_reassemble_fn(timeout_ms),
         outputStructType=RECORD_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",

@@ -42,3 +42,82 @@ def test_streaming_parse_and_watermarked_agg(spark, tmp_path):
     assert rows[("2018-06-01 10:00:00", "user", "err")] == 2
     assert rows[("2018-06-01 11:00:00", "user", "notice")] == 1
     assert rows[("2018-06-01 09:00:00", "user", "err")] == 1
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the reassembly
+    transition function."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self.removed = True
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_reassembly_timeout_keeps_record_counter():
+    """After a timeout flush, later records for the same source must
+    continue record_no (append-mode output would otherwise repeat
+    keys)."""
+    import pandas as pd
+
+    from pysyslog.streaming import make_reassemble_fn
+
+    fn = make_reassemble_fn(1000)
+    # batch 1: two complete records + one pending buffer
+    st = _FakeState()
+    out1 = list(fn(("s1",), [pd.DataFrame({
+        "line_no": [1, 2, 3],
+        "line": ["rec one", "rec two", "rec three pending"],
+    })], st))
+    assert out1[0]["record_no"].tolist() == [1, 2]
+    assert st.get == ("rec three pending", 2)
+
+    # timeout fires: pending buffer flushes as record 3, state KEEPS
+    # the counter (not removed)
+    st.hasTimedOut = True
+    out2 = list(fn(("s1",), [], st))
+    assert out2[0]["record_no"].tolist() == [3]
+    assert not st.removed
+    assert st.get == ("", 3)
+    assert st.timeout_set == 1000
+
+    # batch 2 after the flush: a record emits only once terminated by
+    # the next head line — and numbering continues at 4, not 1
+    st.hasTimedOut = False
+    out3 = list(fn(("s1",), [pd.DataFrame({
+        "line_no": [4, 5],
+        "line": ["rec four", "  continuation"],
+    })], st))
+    assert out3 == []
+    assert st.get == ("rec four\n  continuation", 3)
+    out4 = list(fn(("s1",), [pd.DataFrame({
+        "line_no": [6], "line": ["rec five"],
+    })], st))
+    assert out4[0]["record_no"].tolist() == [4]
+    assert out4[0]["raw"].tolist() == ["rec four\n  continuation"]
+    assert st.get == ("rec five", 4)
+
+    # empty-buffer timeout yields nothing and keeps the counter
+    st.hasTimedOut = True
+    st.update(("", 4))
+    assert list(fn(("s1",), [], st)) == []
+    assert st.get == ("", 4)
