@@ -668,7 +668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
-        # rows-only (no oracle): LSH pipelines + full syslog slice
+        # dedup / similarity pipelines (all oracle-gated except
+        # rolling_fingerprint and syslog_pipeline, which stay rows-only)
         "minhash_near_dups": q_minhash_near_dups,
         "dedup_clusters": q_dedup_clusters,
         "simhash_near_dups": q_simhash_near_dups,

@@ -216,12 +216,15 @@ def config_matrix(n: int = 20000) -> dict[str, float]:
     special = [f for f in FIELD_NAMES if f not in plain]
     out = {}
     for name, opts in presets.items():
-        p = SyslogParser(opts)
         rx = _fast_regex(opts)
-        _parse_batch(p, raw[:2000], opts, FIELD_NAMES, plain, special,
-                     False, rx)  # warmup
+        _parse_batch(SyslogParser(opts), raw[:2000], opts, FIELD_NAMES,
+                     plain, special, False, rx)  # JIT/import warmup
         rates = []
         for _ in range(3):
+            # FRESH parser per pass: a shared one would serve passes
+            # 2-3 entirely from its datetime memo and overstate the
+            # cold-corpus rate
+            p = SyslogParser(opts)
             t0 = time.time()
             _parse_batch(p, raw, opts, FIELD_NAMES, plain, special, False, rx)
             rates.append(n / (time.time() - t0))
@@ -321,11 +324,10 @@ def run_scaling(tmp: str, n_rows: int) -> dict:
     per_level: dict = {}
     for cpus in levels:
         out_json = os.path.join(tmp, f"scale{cpus}.json")
-        passes = 3 if cpus in (n_small, n_small * 4) else 1
         subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--scale-worker", str(cpus), str(scale_rows),
-             os.path.join(tmp, f"scale{cpus}"), out_json, str(passes)],
+             os.path.join(tmp, f"scale{cpus}"), out_json, "3"],
             check=True,
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,

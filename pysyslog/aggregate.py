@@ -70,6 +70,12 @@ def salted_counts(df: DataFrame, key_col: str, n_salts: int = 32,
     # Hashing the row content is stable under recompute.  MAP columns
     # are excluded (Spark forbids hashing maps — element order varies);
     # the remaining columns still spread a hot key's rows uniformly.
+    # CAVEAT: byte-identical rows hash to ONE salt value, so a flood of
+    # exact duplicate records would re-concentrate.  Every table in
+    # this engine carries a physically-unique column (doc_id/line_no),
+    # which the hash includes, so identical-full-row floods cannot
+    # occur here; a schema without one needs an explicit unique salt
+    # source instead.
     hashable = [f.name for f in df.schema.fields if not _has_map(f.dataType)]
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(n_salts))
     stage1 = (

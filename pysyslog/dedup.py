@@ -74,6 +74,7 @@ def minhash_signatures(
 
     suffixes = [f"#{i}".encode() for i in range(num_hashes)]
     ws = _RE_WS_PY
+    n = shingle_n
 
     @pandas_udf(ArrayType(StringType()))
     def sigs(texts: pd.Series) -> pd.Series:
@@ -83,11 +84,14 @@ def minhash_signatures(
             if text is None:
                 out.append(None)
                 continue
-            words = ws.sub(" ", text.strip().lower()).split(" ")
-            k = max(len(words) - 2, 1)
-            # mirrors word_shingles(): short docs yield one short
-            # shingle (join silently truncates like concat_ws+NULL get)
-            shingles = {" ".join(words[i:i + 3]) for i in range(k)}
+            # mirrors word_shingles()'s NORM exactly: Spark trim() and
+            # DuckDB trim() strip SPACES only (str.strip() would also
+            # eat tabs/newlines and change the token split)
+            words = ws.sub(" ", text.lower().strip(" ")).split(" ")
+            k = max(len(words) - (n - 1), 1)
+            # short docs yield one short shingle (slice truncation ==
+            # concat_ws skipping the NULLs F.get returns past the end)
+            shingles = {" ".join(words[i:i + n]) for i in range(k)}
             mins = [None] * num_hashes
             for sh in shingles:
                 b = sh.encode()
@@ -283,10 +287,17 @@ def connected_components(
     join (|E| rows) plus a groupBy, both plain hash-shuffles on node
     ids; the driver only checks the converged-row count per round (an
     iterative algorithm's loop belongs on the driver, its DATA never
-    does).  Near-dup graphs have tiny diameters (clusters of copies),
-    so rounds ≈ 2-3 in practice; `max_iterations` bounds adversarial
-    chains.  Labels persist per round and unpersist the previous round
-    so lineage and memory stay O(1) across iterations.
+    does).  Each round ALSO pointer-jumps (comp := label(comp)), so the
+    distance a min-label still has to travel halves per round —
+    convergence is O(log diameter), and max_iterations=25 covers any
+    graph that fits in storage.  If the loop somehow exits unconverged
+    it RAISES rather than return silently split components.  Each
+    round's labels are localCheckpoint-ed: persist alone caches data
+    but the LOGICAL plan still compounds across self-joins, and the
+    per-round plan grows exponentially until analysis itself OOMs —
+    checkpointing truncates lineage so every round plans against a
+    leaf.  (On a fault-tolerant cluster, swap for checkpoint() with a
+    reliable checkpoint dir.)
 
     Returns (node, component) for every node in `nodes` (or every node
     appearing in `pairs` when nodes is None); component = min node id
@@ -301,22 +312,31 @@ def connected_components(
     )
     if nodes is None:
         nodes = edges.select(F.col("s").alias("node")).distinct()
-    labels = nodes.select(F.col("node"), F.col("node").alias("comp")).persist()
-    labels.count()
-    edges = edges.persist()
+    labels = nodes.select(F.col("node"), F.col("node").alias("comp")).localCheckpoint()
+    edges = edges.localCheckpoint()
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["s"] == labels["node"])
             .groupBy(F.col("d").alias("node"))
             .agg(F.min("comp").alias("nmin"))
         )
+        propagated = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+        )
+        # pointer jumping: comp := label(comp) (labels only decrease,
+        # so label(comp) <= comp) — halves remaining label distance
+        comp_of_comp = labels.select(
+            F.col("node").alias("comp"), F.col("comp").alias("comp2")
+        )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            propagated.join(comp_of_comp, "comp", "left")
             .select(
                 "node",
-                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+                F.least(F.col("comp"), F.coalesce("comp2", F.col("comp"))).alias("comp"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -324,11 +344,15 @@ def connected_components(
             .filter(F.col("n.comp") < F.col("o.comp"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — raise max_iterations"
+        )
     return labels
 
 

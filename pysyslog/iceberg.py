@@ -69,9 +69,14 @@ def write_partitioned(
         writer = df.writeTo(iceberg_table).using("iceberg").option(
             "write.parquet.row-group-size-bytes", str(64 * 1024 * 1024)
         )
-        if partition_cols:
-            writer = writer.partitionedBy(*[col(c) for c in partition_cols])
-        writer.createOrReplace()
+        if mode == "append":
+            # honor append semantics — createOrReplace() here would
+            # truncate the table, diverging from the parquet fallback
+            writer.append()
+        else:
+            if partition_cols:
+                writer = writer.partitionedBy(*[col(c) for c in partition_cols])
+            writer.createOrReplace()
         return iceberg_table
     (
         df.write.mode(mode)

@@ -236,8 +236,9 @@ def _iso_dt_tuples(parser, dts):
     frac = g[6]
     off = g[7]
     ok = g[0].notna()
-    # 6-digit fractions ending 000 re-render as 3 digits (not identity)
-    ok &= ~(frac.notna() & (frac.str.len() == 6) & frac.str.endswith("000"))
+    # fractions ending 000 re-render shorter ('.000' -> '', '.123000'
+    # -> '.123'): not identity, so those rows take the per-row path
+    ok &= ~(frac.notna() & frac.str.endswith("000"))
     okv = ok.to_numpy()
     if okv.any():
         idx = np.flatnonzero(okv)

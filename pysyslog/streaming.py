@@ -54,16 +54,23 @@ def make_reassemble_fn(timeout_ms: int = 60_000):
         if state.hasTimedOut:
             (buffer, emitted) = state.get
             if buffer:
+                # flush: emit the pending record, KEEP the counter (a
+                # removed state would restart record_no at 1 — duplicate
+                # keys in append mode) and re-arm once so a subsequently
+                # idle source still gets cleaned up
                 emitted += 1
-            # keep the emitted counter (do NOT remove state): later
-            # records for this source must continue record_no, not
-            # restart at 1 — append mode would emit duplicate keys
-            state.update(("", emitted))
-            state.setTimeoutDuration(timeout_ms)
-            if buffer:
+                state.update(("", emitted))
+                state.setTimeoutDuration(timeout_ms)
                 yield pd.DataFrame(
                     {"source": [source], "record_no": [emitted], "raw": [buffer]}
                 )
+            else:
+                # second consecutive idle timeout: drop the state — at
+                # scale, sources are high-cardinality and ephemeral, so
+                # per-source state must be bounded.  Documented trade:
+                # a source idle for >= 2 timeout periods restarts its
+                # record_no numbering.
+                state.remove()
             return
         buffer, emitted = state.get if state.exists else ("", 0)
         records = []

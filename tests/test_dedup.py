@@ -99,6 +99,19 @@ def test_connected_components_chain_and_singletons(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_connected_components_long_chain_converges(spark):
+    """A 60-hop chain needs pointer jumping (one-hop propagation alone
+    would exhaust max_iterations and split the component)."""
+    from pysyslog.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    comps = connected_components(pairs).collect()
+    assert {r["comp"] for r in comps} == {0}
+    assert len(comps) == 61
+
+
 def test_near_dup_clusters_covers_all_docs(spark):
     from pysyslog.dedup import minhash_near_dups, near_dup_clusters
 
@@ -112,3 +125,31 @@ def test_near_dup_clusters_covers_all_docs(spark):
     for p in minhash_near_dups(docs, threshold=0.5).collect():
         assert by_doc[p["id_a"]] == by_doc[p["id_b"]]
     assert all(c <= d for d, c in by_doc.items())
+
+
+def test_minhash_udf_matches_jvm_shingles_on_edge_whitespace(spark):
+    """The Arrow-UDF shingling must tokenize exactly like
+    word_shingles() (Spark trim strips spaces only — tabs/newlines
+    become separator-normalized leading tokens)."""
+    from pyspark.sql import functions as F
+
+    from pysyslog.dedup import minhash_signatures, word_shingles
+
+    rows = [(0, "\tfoo bar baz quux"), (1, "  x  "), (2, "a\nb c d"),
+            (3, "one two"), (4, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["h0"]
+            for r in minhash_signatures(docs, num_hashes=1).collect()}
+    jvm = {
+        r["doc_id"]: r["h0"]
+        for r in docs.select(
+            "doc_id",
+            F.array_min(
+                F.transform(
+                    word_shingles(F.col("text"), 3),
+                    lambda s: F.md5(F.concat(s, F.lit("#0"))),
+                )
+            ).alias("h0"),
+        ).collect()
+    }
+    assert sigs == jvm

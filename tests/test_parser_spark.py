@@ -120,6 +120,8 @@ def test_fast_path_equals_slow_on_mixed_corpus():
         "2018-06-01T12:34:56.123+02:00 host1 app: iso offset frac",
         "2018-06-01T12:34:56.123456-05:30 host1 app: iso micros neg",
         "2018-06-01T12:34:56.120000+02:00 host1 app: frac trailing zeros",
+        "2018-06-01T12:34:56.000Z host1 app: all-zero frac",
+        "2018-06-01T12:34:56.123000-03:00 host1 app: six-digit trailing zeros",
         "2018-06-01T12:34:56+0000 host1 app: compact zero offset",
         "2018-06-01T12:34:56+05 host1 app: hour-only offset",
         "2018-99-99T99:99:99Z host1 app: invalid components",

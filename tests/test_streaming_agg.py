@@ -116,8 +116,11 @@ def test_reassembly_timeout_keeps_record_counter():
     assert out4[0]["raw"].tolist() == ["rec four\n  continuation"]
     assert st.get == ("rec five", 4)
 
-    # empty-buffer timeout yields nothing and keeps the counter
+    # a second consecutive idle timeout removes the state entirely —
+    # per-source state must be bounded for high-cardinality ephemeral
+    # sources (documented trade: numbering restarts after 2 idle
+    # periods)
     st.hasTimedOut = True
     st.update(("", 4))
     assert list(fn(("s1",), [], st)) == []
-    assert st.get == ("", 4)
+    assert st.removed
