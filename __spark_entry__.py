@@ -880,6 +880,46 @@ def _dedup_clusters_sql(threshold: float = 0.5) -> str:
     """
 
 
+def _rolling_fp_sql(window: int = 8, mod: int = (1 << 61) - 1,
+                    base: int = 257) -> str:
+    """Replay of the winnowing fingerprint: per position the window's
+    polynomial hash is a closed-form {window}-term sum over code points
+    (HUGEINT keeps the ~2^80 intermediate exact; base^k < mod so the
+    unreduced powers equal their mod-p values)."""
+    powers = [base ** k for k in range(window)]
+    long_terms = " + ".join(
+        f"ord(substr(text, i + {j}, 1))::HUGEINT * {powers[window - 1 - j]}"
+        for j in range(window)
+    )
+    plist = "[" + ", ".join(str(p) for p in powers) + "]"
+    short_terms = " + ".join(
+        f"CASE WHEN {j + 1} <= L THEN "
+        f"ord(substr(text, {j + 1}, 1))::HUGEINT * ({plist})[L - {j}] "
+        f"ELSE 0 END"
+        for j in range(window - 1)
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id, text, length(text) AS L
+            FROM documents WHERE text IS NOT NULL
+        ), pos AS (
+            SELECT doc_id, text, i
+            FROM (SELECT doc_id, text, unnest(range(1, L - {window - 2})) AS i
+                  FROM d WHERE L >= {window})
+        ), long_h AS (
+            SELECT doc_id, min(({long_terms}) % {mod}) AS fp
+            FROM pos GROUP BY doc_id
+        ), short_h AS (
+            SELECT doc_id, ({short_terms}) % {mod} AS fp
+            FROM d WHERE L < {window}
+        )
+        SELECT doc_id, fp::bigint AS rolling_fp FROM long_h
+        UNION ALL SELECT doc_id, fp::bigint FROM short_h
+        UNION ALL SELECT doc_id, NULL::bigint AS rolling_fp
+                  FROM documents WHERE text IS NULL
+    """
+
+
 def _simhash_near_dups_sql(max_hamming: int = 3, bits: int = 32) -> str:
     sig_terms = " + ".join(
         f"CASE WHEN 2 * sum(CASE WHEN substr(md5(t), {j + 1}, 1) >= '8' "
@@ -1226,6 +1266,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _lsh_topk_sql(),
         "ann_ivf_topk": _ivf_topk_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(),
+        "rolling_fingerprint": _rolling_fp_sql(),
         "ann_cosine_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3

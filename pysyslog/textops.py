@@ -100,28 +100,32 @@ def with_md5_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def rolling_hash_udf(window: int = 8, mod: int = (1 << 61) - 1, base: int = 257):
-    """Winnowing-style rolling-hash fingerprint (min hash over all
-    `window`-grams) as an Arrow-batched pandas UDF — the non-SQL path
-    for near-duplicate sketching."""
+    """Winnowing-style rolling-hash fingerprint (min polynomial hash
+    over all `window`-grams) as an Arrow-batched pandas UDF.  The hash
+    runs over CODE POINTS (not utf-8 bytes): each window's value is the
+    closed-form Σ cp[i+j]·base^(w-1-j) mod p, which DuckDB replays with
+    ord(substr(...)) in HUGEINT — making this operator oracle-gated.
+    The rolling O(1) update below is the per-row fast path; per-char
+    Python is inherent to winnowing."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
     def fp(s: str) -> int | None:
         if s is None:
             return None
-        b = s.encode("utf-8")
-        if len(b) < window:
+        cps = [ord(c) for c in s]
+        if len(cps) < window:
             h = 0
-            for ch in b:
-                h = (h * base + ch) % mod
+            for v in cps:
+                h = (h * base + v) % mod
             return h
         h = 0
         pw = pow(base, window - 1, mod)
         best = None
-        for i, ch in enumerate(b):
+        for i, v in enumerate(cps):
             if i >= window:
-                h = (h - b[i - window] * pw) % mod
-            h = (h * base + ch) % mod
+                h = (h - cps[i - window] * pw) % mod
+            h = (h * base + v) % mod
             if i >= window - 1:
                 best = h if best is None or h < best else best
         return best
