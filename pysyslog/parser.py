@@ -146,6 +146,11 @@ _PARSER_CACHE: dict = {}
 # (Line.pm:884: tokens that are priority names are removed from the tag)
 from .tables import INT_PRIORITY as _PRIO_WORDS
 
+# below this fast-cohort fraction a batch takes the state machine
+# outright — the vectorized assembly doesn't amortize on thin cohorts
+# (tests patch this to 0 to force the fast path under adversarial input)
+_FAST_MIN_FRAC = 0.15
+
 
 def _fast_regex(options: ParserOptions):
     """Anchored clean-BSD matcher for the active options, or None when
@@ -486,7 +491,7 @@ def _parse_batch(parser, raw: pd.Series, options, field_names, plain_fields,
     ext = raw.str.extract(fast_re)
     mask = (ext["prog"].notna() & ~ext["prog"].isin(_PRIO_WORDS)).to_numpy()
     frac = mask.mean()
-    if frac < 0.15:
+    if not mask.any() or frac < _FAST_MIN_FRAC:
         # cohort too thin to amortize the vectorized assembly
         return _slow_frame(parser, raw, field_names, plain_fields, special,
                            emit_parsed_json)

@@ -63,3 +63,93 @@ def test_datetime_render_roundtrip(epoch, offset_min):
     back = p._parse_iso_datetime(s)
     assert back is not None
     assert back[0] == ns and back[1] == offset_min
+
+
+# --- fast-path equivalence under adversarial lines -------------------------
+
+_MON = st.sampled_from(["Jan", "Feb", "Jun", "Dec", "Xyz", "jan"])
+_HOSTS = st.sampled_from(
+    ["h1", "web.example.com", "10.1.2.3", "box1.2.3.4", "a-b_c", "x.9y", "h:1"]
+)
+_PROGS = st.sampled_from(
+    ["app", "sshd", "info", "/usr/bin/x", "a/b", "%SYS-5-X", "my.script",
+     "app extra", "9app"]
+)
+_TAILS = st.sampled_from(
+    ["", "[1234]", "[abc]", "(sub)", "[]", "[1]x"]
+)
+_CONTENT = st.sampled_from(
+    ["msg", "", "a=1 b=2", '{"k":1}', "[grp k=v] t", "two  spaces",
+     "trail ", ": colon", "tab\tinside"]
+)
+
+
+@st.composite
+def _syslog_like(draw):
+    pri = draw(st.sampled_from(["", "<13>", "<0>", "<191>", "<999>", "< 3>"]))
+    mon = draw(_MON)
+    day = draw(st.integers(min_value=0, max_value=99))
+    hms = draw(st.sampled_from(["12:00:00", "1:2:3", "23:59:59.123",
+                                "2018-06-01T12:34:56Z",
+                                "2018-06-01 12:34:56.000+02:00"]))
+    if hms.startswith("20"):
+        dt = hms
+    else:
+        dt = f"{mon} {day:>2} {hms}"
+    host = draw(_HOSTS)
+    prog = draw(_PROGS)
+    tail = draw(_TAILS)
+    sep = draw(st.sampled_from([": ", ":", ":  ", " - ", " "]))
+    content = draw(_CONTENT)
+    return f"{pri}{dt} {host} {prog}{tail}{sep}{content}"
+
+
+@given(st.lists(st.one_of(_syslog_like(), st.text(max_size=120)),
+                min_size=1, max_size=40))
+@settings(max_examples=150, deadline=None)
+def test_fast_path_equivalence_property(lines):
+    """For ANY batch, the vectorized cohort split must be column-
+    identical to the pure state machine."""
+    import pandas as pd
+
+    from pysyslog.parser import (
+        FIELD_NAMES,
+        _INT_FIELDS,
+        _fast_regex,
+        _parse_batch,
+        _slow_frame,
+    )
+    from pysyslog.parser_core import SyslogParser as SP
+
+    import pysyslog.parser as parser_mod
+
+    plain = [
+        f for f in FIELD_NAMES
+        if f not in _INT_FIELDS
+        and f not in ("epoch_us", "sdata", "sdata_json", "parsed_json")
+    ]
+    special = [f for f in FIELD_NAMES if f not in plain]
+    opts = ParserOptions(now_epoch=1543622400.0, auto_detect_json=True,
+                         auto_detect_key_values=True)
+    raw = pd.Series(lines, dtype=object)
+    orig = parser_mod._FAST_MIN_FRAC
+    parser_mod._FAST_MIN_FRAC = 0.0  # always engage the fast path
+    try:
+        got = _parse_batch(SP(opts), raw, opts, FIELD_NAMES, plain, special,
+                           False, _fast_regex(opts))
+    finally:
+        parser_mod._FAST_MIN_FRAC = orig
+    want = _slow_frame(SP(opts), raw, FIELD_NAMES, plain, special, False)
+
+    def _n(v):
+        if v is None or (isinstance(v, float) and v != v):
+            return None
+        if isinstance(v, float) and v == int(v):
+            return int(v)
+        return v
+
+    for f in FIELD_NAMES:
+        g = [_n(v) for v in got[f].tolist()]
+        w = [_n(v) for v in want[f].tolist()]
+        assert g == w, (f, [(i, a, b) for i, (a, b)
+                            in enumerate(zip(g, w)) if a != b][:3])
