@@ -596,6 +596,43 @@ def q_embedding_near_dups(spark, sf_dir):
     )
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end on synthesized media (payload =
+    utf-8 bytes of the document text): binary column handling,
+    mapInPandas batch decode (deterministic sha256 stand-in — real
+    codecs absent in this container), and the frame-sampling plan.
+    Every output is SQL-predictable: byte length, first feature
+    component (first 4 digest bytes LE / 2^32 as float32), and frame
+    count."""
+    from pysyslog.multimodal import extract_features, frame_sample_plan
+
+    docs = _read(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars") % 5000).cast("int").alias("duration_ms"),
+    )
+    feats = extract_features(media, fake=True)
+    frames = (
+        frame_sample_plan(media, every_ms=1000)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+    return feats.join(frames, "media_id").select(
+        "media_id", "kind", "n_bytes",
+        F.get("feature", 0).alias("f0"),
+        "n_frames",
+    )
+
+
 def q_rolling_fingerprint(spark, sf_dir):
     from pysyslog.textops import rolling_hash_udf
 
@@ -676,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "multimodal_features": q_multimodal_features,
         "rolling_fingerprint": q_rolling_fingerprint,
         "syslog_pipeline": q_syslog_pipeline,
     }
@@ -877,6 +915,38 @@ def _dedup_clusters_sql(threshold: float = 0.5) -> str:
         )
         SELECT node AS doc_id, min(comp)::bigint AS cluster_id
         FROM reach GROUP BY node
+    """
+
+
+def _hexbyte(col: str, pos: int) -> str:
+    """0-based byte `pos` of a hex-string column, as an integer."""
+    hi = f"(strpos('0123456789abcdef', substr({col}, {2 * pos + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr({col}, {2 * pos + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+def _multimodal_features_sql() -> str:
+    """Replays the deterministic fake decoder: feature[0] is the first
+    4 sha256 digest bytes read little-endian (numpy frombuffer) over
+    2^32, cast to float32."""
+    le32 = " + ".join(
+        f"{_hexbyte('hx', b)}::BIGINT * {1 << (8 * b)}" for b in range(4)
+    )
+    return f"""
+        WITH m AS (
+            SELECT 'm' || doc_id::varchar AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS kind,
+                   octet_length(encode(text))::int AS n_bytes,
+                   sha256(text) AS hx,  -- hashes the utf-8 bytes
+                   (n_chars % 5000) AS dur
+            FROM documents
+        )
+        SELECT media_id, kind, n_bytes,
+               (({le32}) / 4294967296.0)::FLOAT AS f0,
+               greatest(dur // 1000, 1)::bigint AS n_frames
+        FROM m
     """
 
 
@@ -1267,6 +1337,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ivf_topk_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(),
         "rolling_fingerprint": _rolling_fp_sql(),
+        "multimodal_features": _multimodal_features_sql(),
         "ann_cosine_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
