@@ -990,14 +990,22 @@ def _rolling_fp_sql(window: int = 8, mod: int = (1 << 61) - 1,
     """
 
 
-def _simhash_near_dups_sql(max_hamming: int = 3, bits: int = 32) -> str:
+def _simhash_near_dups_sql(max_hamming: int = 3, bits: int = 64) -> str:
+    def _digit(j: int) -> str:
+        # bit j < 32 from md5(t), bit j >= 32 from md5(t || '#b')
+        if j < 32:
+            return f"substr(md5(t), {j + 1}, 1)"
+        return f"substr(md5(t || '#b'), {j - 31}, 1)"
+
+    # bit 63 carries the sign in the engine's signed-64 representation
     sig_terms = " + ".join(
-        f"CASE WHEN 2 * sum(CASE WHEN substr(md5(t), {j + 1}, 1) >= '8' "
-        f"THEN 1 ELSE 0 END) > count(*) THEN {1 << j} ELSE 0 END"
+        f"CASE WHEN 2 * sum(CASE WHEN {_digit(j)} >= '8' "
+        f"THEN 1 ELSE 0 END) > count(*) "
+        f"THEN ({-(1 << 63) if j == 63 else (1 << j)})::BIGINT ELSE 0 END"
         for j in range(bits)
     )
     chunk_selects = "\n            UNION ALL ".join(
-        f"SELECT doc_id, {i} AS ci, (sh >> {8 * i}) & 255 AS cv FROM sig"
+        f"SELECT doc_id, {i} AS ci, (sh >> {16 * i}) & 65535 AS cv FROM sig"
         for i in range(4)
     )
     return f"""

@@ -213,12 +213,11 @@ def config_matrix(n: int = 20000) -> dict[str, float]:
         if f not in _INT_FIELDS
         and f not in ("epoch_us", "sdata", "sdata_json", "parsed_json")
     ]
-    special = [f for f in FIELD_NAMES if f not in plain]
     out = {}
     for name, opts in presets.items():
         rx = _fast_regex(opts)
         _parse_batch(SyslogParser(opts), raw[:2000], opts, FIELD_NAMES,
-                     plain, special, False, rx)  # JIT/import warmup
+                     plain, False, rx)  # JIT/import warmup
         rates = []
         for _ in range(3):
             # FRESH parser per pass: a shared one would serve passes
@@ -226,7 +225,7 @@ def config_matrix(n: int = 20000) -> dict[str, float]:
             # cold-corpus rate
             p = SyslogParser(opts)
             t0 = time.time()
-            _parse_batch(p, raw, opts, FIELD_NAMES, plain, special, False, rx)
+            _parse_batch(p, raw, opts, FIELD_NAMES, plain, False, rx)
             rates.append(n / (time.time() - t0))
         out[name] = round(statistics.median(rates), 1)
     return out

@@ -103,8 +103,15 @@ def minhash_signatures(
         return pd.Series(out, dtype=object)
 
     sig_col = sigs(F.col(text_col))
-    return df.select(F.col(id_col), sig_col.alias("__sig")).select(
-        id_col, *[F.get("__sig", i).alias(f"h{i}") for i in range(num_hashes)]
+    # NULL-text docs produce no signature row (as the DuckDB unnest
+    # replay does) — an all-NULL signature row would band to md5('')
+    # in every band and glue every null doc into one quadratic bucket
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), sig_col.alias("__sig"))
+        .select(
+            id_col, *[F.get("__sig", i).alias(f"h{i}") for i in range(num_hashes)]
+        )
     )
 
 
@@ -182,14 +189,18 @@ def minhash_near_dups(
     )
 
 
-def simhash_udf(bits: int = 32):
-    """32-bit SimHash over whitespace-lowercased tokens.
+def simhash_udf(bits: int = 64):
+    """64-bit SimHash over whitespace-lowercased tokens.
 
-    Per-token hash bits are the MSBs of the md5 hex nibbles: bit j of
-    hash(t) = 1 iff hex digit j of md5(t) is in [8-f].  That is an
-    i.i.d. uniform bit family computable in plain SQL
-    (substr(md5(t), j+1, 1) >= '8'), so the whole operator — including
-    the banding below — replays exactly in the DuckDB oracle.
+    Per-token hash bits are the MSBs of md5 hex nibbles: bit j of
+    hash(t) comes from hex digit j of md5(t) for j < 32 and from hex
+    digit j-32 of md5(t || '#b') for j >= 32 (bit = 1 iff the digit is
+    in [8-f]).  That is an i.i.d. uniform bit family computable in
+    plain SQL (substr(md5(...), j+1, 1) >= '8'), so the whole operator
+    — including the banding below — replays exactly in the DuckDB
+    oracle, while keeping 64 bits so the 4×16-bit bands have 65536
+    buckets (8-bit bands would collapse to 256 join keys and turn the
+    candidate self-join quadratic at scale).
 
     Vectorization: token→mask md5 hashing is memoized per worker (Zipf
     token reuse makes the cache hit rate high); the per-document ±1 bit
@@ -201,13 +212,17 @@ def simhash_udf(bits: int = 32):
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
+    assert bits <= 64
     shifts = np.arange(bits, dtype=np.uint64)
     cache: dict[str, int] = {}
 
     def _token_mask(t: str) -> int:
         m = cache.get(t)
         if m is None:
-            hx = hashlib.md5(t.encode()).hexdigest()
+            b = t.encode()
+            hx = hashlib.md5(b).hexdigest()
+            if bits > 32:
+                hx += hashlib.md5(b + b"#b").hexdigest()
             m = 0
             for j in range(bits):
                 if hx[j] >= "8":
@@ -235,7 +250,8 @@ def simhash_udf(bits: int = 32):
             ones = ((masks[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
             # majority vote: acc_j = 2*ones_j - n_tokens > 0
             sig_bits = (2 * ones > len(toks)).astype(np.uint64)
-            out[i] = int((sig_bits << shifts).sum())
+            v = int((sig_bits << shifts).sum())
+            out[i] = v - (1 << 64) if v >= (1 << 63) else v  # signed 64
         res = pd.Series(out, dtype="Int64")
         if isnull.any():
             res[isnull] = pd.NA
@@ -246,13 +262,15 @@ def simhash_udf(bits: int = 32):
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dups: band the 32-bit hash into 4×8-bit chunks —
+    """SimHash near-dups: band the 64-bit hash into 4×16-bit chunks —
     any pair within hamming ≤ 3 shares at least one exact chunk
-    (pigeonhole) — then verify hamming distance on candidates."""
+    (pigeonhole) — then verify hamming distance on candidates.  16-bit
+    chunks give 65536 buckets per band, keeping the candidate self-join
+    linear-ish; narrower chunks concentrate the join onto few keys."""
     simmed = df.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("sh"))
     chunks = []
     for i in range(4):
-        chunk = F.shiftrightunsigned(F.col("sh"), i * 8).bitwiseAND(F.lit(0xFF))
+        chunk = F.shiftrightunsigned(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF))
         chunks.append(simmed.select(id_col, F.lit(i).alias("ci"), chunk.alias("cv")))
     banded = chunks[0]
     for c in chunks[1:]:
@@ -344,6 +362,9 @@ def connected_components(
             .filter(F.col("n.comp") < F.col("o.comp"))
             .count()
         )
+        # release the previous round's checkpoint blocks — otherwise
+        # every round pins a full (node, comp) copy in executor storage
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True

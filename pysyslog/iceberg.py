@@ -69,10 +69,22 @@ def write_partitioned(
         writer = df.writeTo(iceberg_table).using("iceberg").option(
             "write.parquet.row-group-size-bytes", str(64 * 1024 * 1024)
         )
+        # honor DataFrameWriter mode semantics exactly — the module
+        # contract is "same behavior either way, only the committer
+        # differs": append appends, error fails on an existing table,
+        # ignore no-ops on an existing table, overwrite replaces
         if mode == "append":
-            # honor append semantics — createOrReplace() here would
-            # truncate the table, diverging from the parquet fallback
             writer.append()
+        elif mode in ("error", "errorifexists", "ignore"):
+            if partition_cols:
+                writer = writer.partitionedBy(*[col(c) for c in partition_cols])
+            try:
+                writer.create()
+            except Exception:
+                if mode == "ignore":
+                    pass
+                else:
+                    raise
         else:
             if partition_cols:
                 writer = writer.partitionedBy(*[col(c) for c in partition_cols])

@@ -187,7 +187,7 @@ def _fast_regex(options: ParserOptions):
         r"|\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}\S*)"
         r"\s(?P<host>\d{1,3}(?:\.\d{1,3}){3}"
         r"|[A-Za-z][A-Za-z0-9_-]*(?:\.[A-Za-z][A-Za-z0-9_-]*)*)"
-        r"\s(?P<praw>(?P<prog>/[A-Za-z0-9._/-]+|[A-Za-z][A-Za-z0-9._-]*)"
+        r"\s(?P<praw>(?P<prog>/[A-Za-z0-9._/-]+|[A-Za-z][A-Za-z0-9._-]+)"
         r"(?:\[(?P<pid>[^\]]+)\])?)"
         r":\s+(?P<content>[^" + excl + r"]*)$"
     )
@@ -214,9 +214,12 @@ _DIM_VEC = None
 def _days_in_month_vec(y, mo):
     import numpy as np
 
+    from .parser_core import _DAYS_IN_MONTH
+
     global _DIM_VEC
     if _DIM_VEC is None:
-        _DIM_VEC = np.array([31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31])
+        # single source of truth: the state machine's month table
+        _DIM_VEC = np.array(_DAYS_IN_MONTH)
     dim = _DIM_VEC[np.clip(mo, 1, 12) - 1].copy()
     leap = (y % 4 == 0) & ((y % 100 != 0) | (y % 400 == 0))
     dim[(mo == 2) & leap] = 29
@@ -254,7 +257,8 @@ def _iso_dt_tuples(parser, dts):
         mi = g[4].iloc[idx].to_numpy(dtype="int64")
         s = g[5].iloc[idx].to_numpy(dtype="int64")
         valid = (
-            (mo >= 1) & (mo <= 12) & (d >= 1) & (h <= 23) & (mi <= 59) & (s <= 59)
+            (y >= 1) & (mo >= 1) & (mo <= 12) & (d >= 1)
+            & (h <= 23) & (mi <= 59) & (s <= 59)
         )
         valid &= d <= _days_in_month_vec(y, mo)
         offs = off.iloc[idx]
@@ -437,7 +441,7 @@ def _fast_cols(parser, raw_list, ext: pd.DataFrame, options,
     return cols
 
 
-def _slow_cols(parser, raw_list, field_names, plain_fields, special,
+def _slow_cols(parser, raw_list, field_names, plain_fields,
                emit_parsed_json) -> dict:
     parse = parser.parse
     cols: dict[str, list] = {f: [] for f in field_names}
@@ -472,28 +476,28 @@ def _slow_cols(parser, raw_list, field_names, plain_fields, special,
     return cols
 
 
-def _slow_frame(parser, raw: pd.Series, field_names, plain_fields, special,
+def _slow_frame(parser, raw: pd.Series, field_names, plain_fields,
                 emit_parsed_json) -> pd.DataFrame:
     cols = _slow_cols(parser, raw.tolist(), field_names, plain_fields,
-                      special, emit_parsed_json)
+                      emit_parsed_json)
     return pd.DataFrame(cols, index=raw.index, columns=field_names)
 
 
 def _parse_batch(parser, raw: pd.Series, options, field_names, plain_fields,
-                 special, emit_parsed_json, fast_re) -> pd.DataFrame:
+                 emit_parsed_json, fast_re) -> pd.DataFrame:
     """Split a batch into the vectorized clean-line cohort and the
     state-machine remainder; outputs are row-identical either way."""
     import numpy as np
 
     if fast_re is None or emit_parsed_json or len(raw) == 0:
-        return _slow_frame(parser, raw, field_names, plain_fields, special,
+        return _slow_frame(parser, raw, field_names, plain_fields,
                            emit_parsed_json)
     ext = raw.str.extract(fast_re)
     mask = (ext["prog"].notna() & ~ext["prog"].isin(_PRIO_WORDS)).to_numpy()
     frac = mask.mean()
     if not mask.any() or frac < _FAST_MIN_FRAC:
         # cohort too thin to amortize the vectorized assembly
-        return _slow_frame(parser, raw, field_names, plain_fields, special,
+        return _slow_frame(parser, raw, field_names, plain_fields,
                            emit_parsed_json)
     raw_arr = np.asarray(raw.tolist(), dtype=object)
     if frac == 1.0:
@@ -504,7 +508,7 @@ def _parse_batch(parser, raw: pd.Series, options, field_names, plain_fields,
     fast = _fast_cols(parser, list(raw_arr[pos_fast]), ext[mask], options,
                       field_names)
     slow = _slow_cols(parser, list(raw_arr[pos_slow]), field_names,
-                      plain_fields, special, emit_parsed_json)
+                      plain_fields, emit_parsed_json)
     out: dict = {}
     n = len(raw)
     for f in field_names:
@@ -544,14 +548,13 @@ def make_parse_udf(options: ParserOptions, emit_parsed_json: bool = False):
         if f not in _INT_FIELDS
         and f not in ("epoch_us", "sdata", "sdata_json", "parsed_json")
     ]
-    special = [f for f in FIELD_NAMES if f not in plain_fields]
     fast_re = None if emit_parsed_json else _fast_regex(options)
 
     @pandas_udf(SYSLOG_SCHEMA)
     def parse_udf(raw: pd.Series) -> pd.DataFrame:
         parser = _get_parser(options)
         return _parse_batch(parser, raw, options, FIELD_NAMES, plain_fields,
-                            special, emit_parsed_json, fast_re)
+                            emit_parsed_json, fast_re)
 
     return parse_udf
 
@@ -574,7 +577,6 @@ def make_parse_tokens_udf(options: ParserOptions, emit_parsed_json: bool = False
         if f not in _INT_FIELDS
         and f not in ("epoch_us", "sdata", "sdata_json", "parsed_json")
     ]
-    special = [f for f in FIELD_NAMES if f not in plain_fields]
     fast_re = None if emit_parsed_json else _fast_regex(options)
 
     @pandas_udf(schema)
@@ -591,7 +593,7 @@ def make_parse_tokens_udf(options: ParserOptions, emit_parsed_json: bool = False
             dtype=object,
         )
         out = _parse_batch(parser, raw, options, FIELD_NAMES, plain_fields,
-                           special, emit_parsed_json, fast_re)
+                           emit_parsed_json, fast_re)
         out["raw"] = raw
         return out
 

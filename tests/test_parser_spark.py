@@ -141,7 +141,6 @@ def test_fast_path_equals_slow_on_mixed_corpus():
         if f not in _INT_FIELDS
         and f not in ("epoch_us", "sdata", "sdata_json", "parsed_json")
     ]
-    special = [f for f in FIELD_NAMES if f not in plain]
     option_sets = [
         ParserOptions(now_epoch=GEN_NOW_EPOCH),
         ParserOptions(now_epoch=GEN_NOW_EPOCH, auto_detect_json=True,
@@ -155,9 +154,9 @@ def test_fast_path_equals_slow_on_mixed_corpus():
         fast_re = _fast_regex(opts)
         assert fast_re is not None
         got = _parse_batch(SyslogParser(opts), raw, opts, FIELD_NAMES,
-                           plain, special, False, fast_re)
+                           plain, False, fast_re)
         want = _slow_frame(SyslogParser(opts), raw, FIELD_NAMES, plain,
-                           special, False)
+                           False)
         def _n(v):
             # None and NaN are both Arrow nulls; ints may ride as floats
             if v is None or (isinstance(v, float) and v != v):

@@ -128,18 +128,17 @@ def test_fast_path_equivalence_property(lines):
         if f not in _INT_FIELDS
         and f not in ("epoch_us", "sdata", "sdata_json", "parsed_json")
     ]
-    special = [f for f in FIELD_NAMES if f not in plain]
     opts = ParserOptions(now_epoch=1543622400.0, auto_detect_json=True,
                          auto_detect_key_values=True)
     raw = pd.Series(lines, dtype=object)
     orig = parser_mod._FAST_MIN_FRAC
     parser_mod._FAST_MIN_FRAC = 0.0  # always engage the fast path
     try:
-        got = _parse_batch(SP(opts), raw, opts, FIELD_NAMES, plain, special,
+        got = _parse_batch(SP(opts), raw, opts, FIELD_NAMES, plain,
                            False, _fast_regex(opts))
     finally:
         parser_mod._FAST_MIN_FRAC = orig
-    want = _slow_frame(SP(opts), raw, FIELD_NAMES, plain, special, False)
+    want = _slow_frame(SP(opts), raw, FIELD_NAMES, plain, False)
 
     def _n(v):
         if v is None or (isinstance(v, float) and v != v):
