@@ -84,11 +84,15 @@ def pipeline_run(spark, n_rows: int, out_dir: str, warmup: bool = True,
     )
     cpus = spark.sparkContext.defaultParallelism
 
-    # materialize the corpus first so generation cost isn't measured
+    # materialize the corpus first so generation cost isn't measured;
+    # reuse an already-written corpus (same out_dir, same n_rows) so
+    # interleaved re-invocations at one level don't pay generation again
     corpus_path = os.path.join(out_dir, "corpus")
-    gen_tokens_df(spark, n_rows, partitions=cpus * 2).write.mode("overwrite").parquet(
-        corpus_path
-    )
+    marker = os.path.join(corpus_path, "_SUCCESS")
+    if not os.path.exists(marker):
+        gen_tokens_df(spark, n_rows, partitions=cpus * 2).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
     tokens = spark.read.parquet(corpus_path)
 
     if warmup:
@@ -300,12 +304,16 @@ def cpu_probe(procs: int, units: int = 96) -> float:
 def run_scaling(tmp: str, n_rows: int) -> dict:
     """Two-cluster-size scaling evidence (north rule: >=0.8 efficiency
     from N to 4N).  Each parallelism level runs in a FRESH python+JVM
-    process (JIT warmth must not leak between levels), median of 3
-    timed passes per level, with the raw-CPU ceiling probe embedded so
-    the efficiency can be read against what the hardware itself
-    delivers at each level.  Window default local[2]->local[8] (with
-    the 4->8 doubling alongside): the probe shows the box saturates at
-    ~13 effective cores, so wider windows measure the hypervisor."""
+    process (JIT warmth must not leak between levels).  The N and 4N
+    levels run INTERLEAVED in 3 reps, each rep bracketed by raw-CPU
+    ceiling probes: hypervisor-steal windows on this box last minutes
+    and depress any single level by up to 2x, so the defensible
+    statistics are per-rep RATIOS (both ends sampled in the same
+    window) and the per-rep probe-adjusted ratio (what the plan does
+    relative to what the hardware delivered in that very window).
+    Window default local[2]->local[8] (with the 4->8 doubling
+    alongside): the probe shows the box saturates at ~13 effective
+    cores, so wider windows measure the hypervisor."""
     import subprocess
 
     n_small = int(os.environ.get("PSL_BENCH_SCALE_N", "2"))
@@ -316,29 +324,72 @@ def run_scaling(tmp: str, n_rows: int) -> dict:
     # scalability
     scale_rows = n_rows * int(os.environ.get("PSL_BENCH_SCALE_ROWS_MULT", "2"))
     levels = sorted({n_small, n_small * 2, n_small * 4})
-    # probe the raw-CPU ceiling FIRST, on an otherwise idle box — right
-    # after a JVM teardown the probe reads residual load, not hardware
-    time.sleep(5)
-    probe = {str(c): cpu_probe(c) for c in levels}
-    per_level: dict = {}
-    for cpus in levels:
-        out_json = os.path.join(tmp, f"scale{cpus}.json")
+    reps = int(os.environ.get("PSL_BENCH_SCALE_REPS", "3"))
+
+    def _invoke(cpus, i):
+        out_json = os.path.join(tmp, f"scale{cpus}_{i}.json")
         subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--scale-worker", str(cpus), str(scale_rows),
-             os.path.join(tmp, f"scale{cpus}"), out_json, "3"],
+             os.path.join(tmp, f"scale{cpus}"), out_json, "1"],
             check=True,
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
         )
         with open(out_json) as fh:
-            per_level[cpus] = json.load(fh)
-        time.sleep(3)  # let the JVM teardown settle before the next level
+            return json.load(fh)
+
+    runs: dict[int, list] = {c: [] for c in levels}
+    probe_runs: dict[int, list] = {n_small: [], n_small * 4: []}
+    for rep in range(reps):
+        time.sleep(3)
+        probe_runs[n_small].append(cpu_probe(n_small))
+        runs[n_small].append(_invoke(n_small, rep))
+        time.sleep(3)
+        runs[n_small * 4].append(_invoke(n_small * 4, rep))
+        probe_runs[n_small * 4].append(cpu_probe(n_small * 4))
+        if rep == 0:
+            time.sleep(3)
+            runs[n_small * 2].append(_invoke(n_small * 2, rep))
+    per_level: dict = {}
+    for cpus in levels:
+        rs = sorted(runs[cpus], key=lambda r: r["total_sec"])
+        med = dict(rs[len(rs) // 2])
+        med["passes"] = [r["total_sec"] for r in runs[cpus]]
+        per_level[cpus] = med
+    probe = {
+        str(c): sorted(v)[len(v) // 2] for c, v in probe_runs.items()
+    }
     lo = per_level[n_small]["lines_per_sec"]
     mid = per_level[n_small * 2]["lines_per_sec"]
     hi = per_level[n_small * 4]["lines_per_sec"]
-    eff = round(hi / lo / 4.0, 3)
     probe_eff = round(probe[str(n_small * 4)] / probe[str(n_small)] / 4.0, 3)
+
+    # PRIMARY estimator: median over the per-rep PAIRED ratios — each
+    # rep measured N and 4N back-to-back in the same noise window, so
+    # the ratio cancels window-level slowdowns that hit both ends
+    paired = [
+        h["lines_per_sec"] / l["lines_per_sec"] / 4.0
+        for l, h in zip(runs[n_small], runs[n_small * 4])
+    ]
+    sp = sorted(paired)
+    eff = round(sp[len(sp) // 2], 3)
+
+    # per-rep probe-adjusted ratio: the plan's efficiency relative to
+    # the hardware's own N->4N efficiency measured in the SAME window
+    paired_adj = sorted(
+        r / (p4 / p2 / 4.0)
+        for r, p2, p4 in zip(paired, probe_runs[n_small], probe_runs[n_small * 4])
+    )
+    eff_adj_paired = round(paired_adj[len(paired_adj) // 2], 3)
+
+    # secondary: ratio of each level's FASTEST rep — interference is
+    # one-sided (steal only slows), so the best rep is the least-
+    # interfered observation of what the plan can do
+    def _best(cpus):
+        return max(r["lines_per_sec"] for r in runs[cpus])
+
+    eff_best = round(_best(n_small * 4) / _best(n_small) / 4.0, 3)
     return {
         "n": n_small,
         "rows": scale_rows,
@@ -346,11 +397,16 @@ def run_scaling(tmp: str, n_rows: int) -> dict:
         "throughput_2n": mid,
         "throughput_4n": hi,
         "efficiency_n_to_4n": eff,
+        "efficiency_n_to_4n_all_paired": [round(x, 3) for x in paired],
+        "efficiency_n_to_4n_best_pass": eff_best,
+        "efficiency_n_to_4n_of_medians": round(hi / lo / 4.0, 3),
         "efficiency_2n_to_4n": round(hi / mid / 2.0, 3),
         "cpu_ceiling_probe_units_per_sec": probe,
+        "cpu_ceiling_probe_per_rep": {
+            str(c): v for c, v in probe_runs.items()
+        },
         "cpu_ceiling_probe_efficiency_n_to_4n": probe_eff,
-        "ceiling_adjusted_efficiency_n_to_4n": round(eff / probe_eff, 3)
-        if probe_eff else None,
+        "ceiling_adjusted_efficiency_n_to_4n": eff_adj_paired,
         "detail": {f"local[{c}]": per_level[c] for c in levels},
     }
 
