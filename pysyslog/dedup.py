@@ -243,6 +243,10 @@ def simhash_udf(bits: int = 64):
                 continue
             toks = text.lower().split()
             if not toks:
+                # token-less text gets NULL, mirroring the oracle SQL
+                # whose tok/sig CTEs drop such docs — signature 0 would
+                # band empty docs together at hamming 0
+                isnull[i] = True
                 continue
             masks = np.fromiter(
                 (_token_mask(t) for t in toks), dtype=np.uint64, count=len(toks)

@@ -76,15 +76,14 @@ def write_partitioned(
         if mode == "append":
             writer.append()
         elif mode in ("error", "errorifexists", "ignore"):
+            # 'ignore' must only swallow the table-already-exists case;
+            # a blanket except would report genuine write failures (IO,
+            # schema mismatch, permissions) as success
+            if mode == "ignore" and spark.catalog.tableExists(iceberg_table):
+                return iceberg_table
             if partition_cols:
                 writer = writer.partitionedBy(*[col(c) for c in partition_cols])
-            try:
-                writer.create()
-            except Exception:
-                if mode == "ignore":
-                    pass
-                else:
-                    raise
+            writer.create()
         else:
             if partition_cols:
                 writer = writer.partitionedBy(*[col(c) for c in partition_cols])

@@ -188,7 +188,7 @@ def _fast_regex(options: ParserOptions):
         r"\s(?P<host>\d{1,3}(?:\.\d{1,3}){3}"
         r"|[A-Za-z][A-Za-z0-9_-]*(?:\.[A-Za-z][A-Za-z0-9_-]*)*)"
         r"\s(?P<praw>(?P<prog>/[A-Za-z0-9._/-]+|[A-Za-z][A-Za-z0-9._-]+)"
-        r"(?:\[(?P<pid>[^\]]+)\])?)"
+        r"(?:\[(?P<pid>[^\]:()]+)\])?)"
         r":\s+(?P<content>[^" + excl + r"]*)$"
     )
 

@@ -83,6 +83,27 @@ def test_simhash_near_dups(spark):
     assert frozenset((0, 3)) not in pairs
 
 
+def test_simhash_empty_text_is_null(spark):
+    """Token-less texts must yield NULL signatures (not 0) so blank
+    docs never band together at hamming 0 — and so the engine matches
+    the DuckDB oracle, whose tok/sig CTEs drop such docs."""
+    from pysyslog.dedup import simhash_udf
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, None), (3, "real text")],
+        "doc_id long, text string",
+    )
+    import pyspark.sql.functions as F
+
+    rows = {r["doc_id"]: r["sh"]
+            for r in df.select("doc_id",
+                               simhash_udf()(F.col("text")).alias("sh")).collect()}
+    assert rows[0] is None and rows[1] is None and rows[2] is None
+    assert rows[3] is not None
+    pairs = simhash_near_dups(df, max_hamming=3).collect()
+    assert pairs == []
+
+
 def test_connected_components_chain_and_singletons(spark):
     """A 4-node chain must collapse to one component (propagation runs
     past one hop), disjoint pairs stay separate, singletons keep

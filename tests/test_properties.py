@@ -76,7 +76,7 @@ _PROGS = st.sampled_from(
      "app extra", "9app"]
 )
 _TAILS = st.sampled_from(
-    ["", "[1234]", "[abc]", "(sub)", "[]", "[1]x"]
+    ["", "[1234]", "[abc]", "(sub)", "[]", "[1]x", "[1:2]", "[a(b)c]"]
 )
 _CONTENT = st.sampled_from(
     ["msg", "", "a=1 b=2", '{"k":1}', "[grp k=v] t", "two  spaces",
