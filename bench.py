@@ -13,6 +13,14 @@ Env:
                        proxy) and report efficiency; set 0 to skip
   PSL_BENCH_SCALE_N    small level N (default 2; see BASELINE.md for
                        why 2->8 and not 8->32 on this sandbox)
+  PSL_BENCH_SCALE_REPS interleaved N/4N rep pairs (default 5)
+  PSL_BENCH_SCALE_ROWS_MULT  scaling corpus = headline rows x this
+                       (default 4 — amortizes fixed per-job cost)
+  PSL_BENCH_SCALE_SETTLE_SEC settle sleep between level runs (default 15)
+
+Stdout is ONE compact JSON line (driver contract); the full evidence
+(config matrix, per-rep scaling detail) is written to BENCH_DETAIL.json
+next to this file.
 """
 
 from __future__ import annotations
@@ -59,7 +67,7 @@ def make_spark(cpus: int):
 
 
 def pipeline_run(spark, n_rows: int, out_dir: str, warmup: bool = True,
-                 passes: int = 1) -> dict:
+                 passes: int = 1, corpus_dir: str | None = None) -> dict:
     """End-to-end passes; returns stage timings + lines/sec for the
     MEDIAN pass (by total time), with every pass's numbers in "passes".
 
@@ -71,8 +79,8 @@ def pipeline_run(spark, n_rows: int, out_dir: str, warmup: bool = True,
     median-of-N is."""
     from pysyslog.aggregate import (
         hourly_facility_severity_counts,
+        pipeline_counts,
         salted_counts,
-        sink_counts,
     )
     from pysyslog.gen import GEN_NOW_EPOCH, gen_tokens_df
     from pysyslog.options import ParserOptions
@@ -85,14 +93,23 @@ def pipeline_run(spark, n_rows: int, out_dir: str, warmup: bool = True,
     cpus = spark.sparkContext.defaultParallelism
 
     # materialize the corpus first so generation cost isn't measured;
-    # reuse an already-written corpus (same out_dir, same n_rows) so
-    # interleaved re-invocations at one level don't pay generation again
-    corpus_path = os.path.join(out_dir, "corpus")
+    # reuse an already-written corpus so interleaved re-invocations
+    # don't pay generation again — guarded by a sidecar recording
+    # n_rows, so a stale corpus of a different size is never silently
+    # reused (it would skew lines/sec)
+    corpus_path = corpus_dir or os.path.join(out_dir, "corpus")
     marker = os.path.join(corpus_path, "_SUCCESS")
-    if not os.path.exists(marker):
+    sidecar = os.path.join(corpus_path, "_n_rows.json")
+    reusable = False
+    if os.path.exists(marker) and os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            reusable = json.load(fh).get("n_rows") == n_rows
+    if not reusable:
         gen_tokens_df(spark, n_rows, partitions=cpus * 2).write.mode(
             "overwrite"
         ).parquet(corpus_path)
+        with open(sidecar, "w") as fh:
+            json.dump({"n_rows": n_rows}, fh)
     tokens = spark.read.parquet(corpus_path)
 
     if warmup:
@@ -103,8 +120,10 @@ def pipeline_run(spark, n_rows: int, out_dir: str, warmup: bool = True,
         w = transform(tokens.limit(max(n_rows // 20, 2000)).repartition(cpus),
                       opts).drop("tokens", "message_raw").persist()
         w.count()
-        route_by_facility_severity(w, os.path.join(out_dir, "warmup"))
+        route_by_facility_severity(w, os.path.join(out_dir, "warmup"),
+                                   rows_hint=n_rows)
         hourly_facility_severity_counts(w).count()
+        salted_counts(w, "host").count()
         w.unpersist()
 
     results = []
@@ -123,13 +142,20 @@ def pipeline_run(spark, n_rows: int, out_dir: str, warmup: bool = True,
         t_parse = time.time() - t0
 
         t1 = time.time()
-        route_by_facility_severity(enriched, out_dir)
+        # salt granularity sized to the data (see route_by_facility_severity):
+        # right-sized files at bench scale, hot-sink splitting at 10^12
+        route_by_facility_severity(enriched, out_dir, rows_hint=n)
         t_route = time.time() - t1
 
         t2 = time.time()
-        agg_rows = hourly_facility_severity_counts(enriched).count()
-        sink_rows = sink_counts(enriched).count()
+        # ONE shuffled aggregate feeds hourly + sink totals; only the
+        # salted host counts re-scan the input (different key)
+        base, hourly, sinks = pipeline_counts(enriched)
+        base = base.persist()
+        agg_rows = hourly.count()
+        sink_rows = sinks.count()
         host_rows = salted_counts(enriched, "host").count()
+        base.unpersist()
         t_agg = time.time() - t2
 
         enriched.unpersist()
@@ -239,8 +265,8 @@ def main():
     from pysyslog.gen import rows_for_sf
 
     n_rows = rows_for_sf(SF)
-    result: dict = {"sf": SF, "cpus": CPUS}
-    result["config_matrix_rows_per_sec_1core"] = config_matrix()
+    detail: dict = {"sf": SF, "cpus": CPUS}
+    detail["config_matrix_rows_per_sec_1core"] = config_matrix()
 
     tmp = tempfile.mkdtemp(prefix="pysyslog-bench-")
     try:
@@ -250,27 +276,50 @@ def main():
         queries["syslog_e2e_pipeline"] = pipe["total_sec"]
         spark.stop()
 
-        result.update(
-            {
-                "metric": (
-                    "syslog end-to-end wall seconds for "
-                    f"{pipe['rows']} lines (detok→parse→enrich→route→agg); "
-                    "throughput in throughput_lines_per_sec"
-                ),
-                "value": pipe["total_sec"],
-                "unit": "sec",
-                "throughput_lines_per_sec": pipe["lines_per_sec"],
-                "pipeline": pipe,
-                "queries": queries,
-            }
-        )
+        detail["pipeline"] = pipe
+        result: dict = {
+            "metric": (
+                "syslog end-to-end wall seconds for "
+                f"{pipe['rows']} lines (detok→parse→enrich→route→agg); "
+                "throughput in throughput_lines_per_sec"
+            ),
+            "value": pipe["total_sec"],
+            "unit": "sec",
+            "sf": SF,
+            "cpus": CPUS,
+            "throughput_lines_per_sec": pipe["lines_per_sec"],
+            "queries": queries,
+        }
 
         if os.environ.get("PSL_BENCH_SCALING", "1") == "1":
-            result["scaling"] = run_scaling(tmp, n_rows)
+            scaling = run_scaling(tmp, n_rows)
+            detail["scaling"] = scaling
+            # headline scaling keys only — the full per-rep evidence
+            # lives in the sidecar (BENCH_DETAIL.json)
+            result["scaling"] = {
+                k: scaling[k]
+                for k in (
+                    "n", "rows", "reps_used", "reps_discarded",
+                    "throughput_n", "throughput_2n", "throughput_4n",
+                    "efficiency_n_to_4n",
+                    "cpu_ceiling_probe_efficiency_n_to_4n",
+                    "ceiling_adjusted_efficiency_n_to_4n",
+                )
+            }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    print(json.dumps(result))
+    # sidecar carries everything (config matrix, per-rep scaling detail,
+    # per-level pass times); stdout stays ONE compact line — round 2's
+    # full dump (~2.8 KB) overflowed the driver's stdout-tail capture
+    # and the headline number became machine-unreadable
+    detail.update(result)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    line = json.dumps(result)
+    assert len(line) < 2000, f"stdout JSON too long ({len(line)}B) for driver capture"
+    print(line)
 
 
 def _probe_unit(i: int) -> int:
@@ -284,15 +333,19 @@ def _probe_unit(i: int) -> int:
     return h[0]
 
 
-def cpu_probe(procs: int, units: int = 96) -> float:
+def cpu_probe(procs: int, units: int | None = None) -> float:
     """Work-units/sec of `procs` independent Python processes running
     pure CPU work.  This measures what the BOX can deliver at that
     parallelism — the ceiling any Spark job shares.  On this sandbox the
     32 advertised vCPUs saturate at ~13 effective cores, so raw N->4N
     Spark efficiency must be read against this probe, not against the
-    vCPU count."""
+    vCPU count.  Sized to ~1s wall per call: round 2's 96-unit probe
+    finished in 35ms at 8 procs and its noise corrupted the
+    ceiling-adjusted statistic (one window read superlinear 1.18)."""
     from multiprocessing import get_context
 
+    if units is None:
+        units = 64 * procs
     with get_context("fork").Pool(procs) as pool:
         pool.map(_probe_unit, range(procs))  # warm the pool
         t0 = time.time()
@@ -305,33 +358,44 @@ def run_scaling(tmp: str, n_rows: int) -> dict:
     """Two-cluster-size scaling evidence (north rule: >=0.8 efficiency
     from N to 4N).  Each parallelism level runs in a FRESH python+JVM
     process (JIT warmth must not leak between levels).  The N and 4N
-    levels run INTERLEAVED in 3 reps, each rep bracketed by raw-CPU
-    ceiling probes: hypervisor-steal windows on this box last minutes
-    and depress any single level by up to 2x, so the defensible
-    statistics are per-rep RATIOS (both ends sampled in the same
-    window) and the per-rep probe-adjusted ratio (what the plan does
-    relative to what the hardware delivered in that very window).
+    levels run INTERLEAVED in `reps` reps, each rep bracketed by
+    raw-CPU ceiling probes: hypervisor-steal windows on this box last
+    minutes and depress any single level by up to 2x, so the
+    defensible statistics are per-rep RATIOS (both ends sampled in the
+    same window) and the per-rep probe-adjusted ratio (what the plan
+    does relative to what the hardware delivered in that very window).
+
+    Probe hygiene (round-2 verdict): a rep whose bracketing probes
+    disagree implausibly — hardware "efficiency" above 1.1 (superlinear
+    = measurement garbage) or below 0.4 (deep steal window) — is
+    DISCARDED and re-run; surviving probe ratios are clamped to <=1.0
+    before being used as a divisor, so the adjusted statistic can never
+    be inflated by a noisy probe in either direction.
+
     Window default local[2]->local[8] (with the 4->8 doubling
     alongside): the probe shows the box saturates at ~13 effective
-    cores, so wider windows measure the hypervisor."""
+    cores (2->8 pure-CPU multiprocessing itself only reaches ~0.7-0.85
+    efficiency here), so wider windows measure the hypervisor."""
     import subprocess
 
     n_small = int(os.environ.get("PSL_BENCH_SCALE_N", "2"))
-    # the scaling input is 2x the headline corpus (SAME input at every
-    # level): at the headline size the smallest level finishes stages in
-    # seconds, so fixed per-job costs (scheduling, commit barriers)
-    # dominate the ratio and the measurement reads overhead, not plan
-    # scalability
-    scale_rows = n_rows * int(os.environ.get("PSL_BENCH_SCALE_ROWS_MULT", "2"))
+    # the scaling input is 4x the headline corpus (SAME input at every
+    # level): at the headline size the smallest level finishes stages
+    # in seconds, so fixed per-job costs (scheduling, commit barriers,
+    # Spark startup inside each stage) dominate the ratio and the
+    # measurement reads overhead, not plan scalability
+    scale_rows = n_rows * int(os.environ.get("PSL_BENCH_SCALE_ROWS_MULT", "4"))
     levels = sorted({n_small, n_small * 2, n_small * 4})
-    reps = int(os.environ.get("PSL_BENCH_SCALE_REPS", "3"))
+    reps = int(os.environ.get("PSL_BENCH_SCALE_REPS", "5"))
+    settle = int(os.environ.get("PSL_BENCH_SCALE_SETTLE_SEC", "15"))
+    corpus_dir = os.path.join(tmp, "scale_corpus")
 
     def _invoke(cpus, i):
         out_json = os.path.join(tmp, f"scale{cpus}_{i}.json")
         subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--scale-worker", str(cpus), str(scale_rows),
-             os.path.join(tmp, f"scale{cpus}"), out_json, "1"],
+             os.path.join(tmp, f"scale{cpus}"), out_json, "1", corpus_dir],
             check=True,
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
@@ -339,31 +403,61 @@ def run_scaling(tmp: str, n_rows: int) -> dict:
         with open(out_json) as fh:
             return json.load(fh)
 
+    # generate the shared corpus up front (outside any timed window)
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--gen-corpus",
+         str(scale_rows), corpus_dir],
+        check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+
     runs: dict[int, list] = {c: [] for c in levels}
-    probe_runs: dict[int, list] = {n_small: [], n_small * 4: []}
-    for rep in range(reps):
-        time.sleep(3)
-        probe_runs[n_small].append(cpu_probe(n_small))
-        runs[n_small].append(_invoke(n_small, rep))
-        time.sleep(3)
-        runs[n_small * 4].append(_invoke(n_small * 4, rep))
-        probe_runs[n_small * 4].append(cpu_probe(n_small * 4))
-        if rep == 0:
-            time.sleep(3)
-            runs[n_small * 2].append(_invoke(n_small * 2, rep))
+    probe_lo: list = []
+    probe_hi: list = []
+    discarded: list = []
+    attempts = 0
+    while len(runs[n_small]) < reps and attempts < reps * 2 + 2:
+        attempts += 1
+        time.sleep(settle)
+        p_lo = cpu_probe(n_small)
+        r_lo = _invoke(n_small, attempts)
+        time.sleep(settle)
+        r_hi = _invoke(n_small * 4, attempts)
+        time.sleep(5)  # let subprocess teardown drain before probing
+        p_hi = cpu_probe(n_small * 4)
+        probe_eff_raw = p_hi / p_lo / 4.0
+        if not (0.4 <= probe_eff_raw <= 1.1):
+            # bracketing probes say this window's hardware reading is
+            # implausible — the rep can't be interpreted; redo it
+            discarded.append({
+                "attempt": attempts, "probe_lo": p_lo, "probe_hi": p_hi,
+                "probe_eff_raw": round(probe_eff_raw, 3),
+                "ratio": round(
+                    r_hi["lines_per_sec"] / r_lo["lines_per_sec"] / 4.0, 3),
+            })
+            continue
+        runs[n_small].append(r_lo)
+        runs[n_small * 4].append(r_hi)
+        probe_lo.append(p_lo)
+        probe_hi.append(p_hi)
+        if len(runs[n_small * 2]) == 0:
+            time.sleep(settle)
+            runs[n_small * 2].append(_invoke(n_small * 2, attempts))
     per_level: dict = {}
     for cpus in levels:
         rs = sorted(runs[cpus], key=lambda r: r["total_sec"])
         med = dict(rs[len(rs) // 2])
         med["passes"] = [r["total_sec"] for r in runs[cpus]]
         per_level[cpus] = med
-    probe = {
-        str(c): sorted(v)[len(v) // 2] for c, v in probe_runs.items()
-    }
+
+    def _median(xs):
+        s = sorted(xs)
+        return s[len(s) // 2]
+
     lo = per_level[n_small]["lines_per_sec"]
     mid = per_level[n_small * 2]["lines_per_sec"]
     hi = per_level[n_small * 4]["lines_per_sec"]
-    probe_eff = round(probe[str(n_small * 4)] / probe[str(n_small)] / 4.0, 3)
+    probe_effs = [min(h / l / 4.0, 1.0) for l, h in zip(probe_lo, probe_hi)]
+    probe_eff = round(_median(probe_effs), 3)
 
     # PRIMARY estimator: median over the per-rep PAIRED ratios — each
     # rep measured N and 4N back-to-back in the same noise window, so
@@ -372,16 +466,14 @@ def run_scaling(tmp: str, n_rows: int) -> dict:
         h["lines_per_sec"] / l["lines_per_sec"] / 4.0
         for l, h in zip(runs[n_small], runs[n_small * 4])
     ]
-    sp = sorted(paired)
-    eff = round(sp[len(sp) // 2], 3)
+    eff = round(_median(paired), 3)
 
     # per-rep probe-adjusted ratio: the plan's efficiency relative to
-    # the hardware's own N->4N efficiency measured in the SAME window
-    paired_adj = sorted(
-        r / (p4 / p2 / 4.0)
-        for r, p2, p4 in zip(paired, probe_runs[n_small], probe_runs[n_small * 4])
-    )
-    eff_adj_paired = round(paired_adj[len(paired_adj) // 2], 3)
+    # the hardware's own N->4N efficiency measured in the SAME window,
+    # with the probe ratio clamped to <=1.0 (a >1 divisor would be
+    # anti-conservative nonsense)
+    eff_adj_paired = round(
+        _median([r / pe for r, pe in zip(paired, probe_effs)]), 3)
 
     # secondary: ratio of each level's FASTEST rep — interference is
     # one-sided (steal only slows), so the best rep is the least-
@@ -393,6 +485,8 @@ def run_scaling(tmp: str, n_rows: int) -> dict:
     return {
         "n": n_small,
         "rows": scale_rows,
+        "reps_used": len(paired),
+        "reps_discarded": len(discarded),
         "throughput_n": lo,
         "throughput_2n": mid,
         "throughput_4n": hi,
@@ -401,12 +495,18 @@ def run_scaling(tmp: str, n_rows: int) -> dict:
         "efficiency_n_to_4n_best_pass": eff_best,
         "efficiency_n_to_4n_of_medians": round(hi / lo / 4.0, 3),
         "efficiency_2n_to_4n": round(hi / mid / 2.0, 3),
-        "cpu_ceiling_probe_units_per_sec": probe,
-        "cpu_ceiling_probe_per_rep": {
-            str(c): v for c, v in probe_runs.items()
+        "cpu_ceiling_probe_units_per_sec": {
+            str(n_small): _median(probe_lo), str(n_small * 4): _median(probe_hi),
         },
+        "cpu_ceiling_probe_per_rep": {
+            str(n_small): probe_lo, str(n_small * 4): probe_hi,
+        },
+        "cpu_ceiling_probe_efficiency_per_rep": [
+            round(x, 3) for x in probe_effs
+        ],
         "cpu_ceiling_probe_efficiency_n_to_4n": probe_eff,
         "ceiling_adjusted_efficiency_n_to_4n": eff_adj_paired,
+        "discarded_reps": discarded,
         "detail": {f"local[{c}]": per_level[c] for c in levels},
     }
 
@@ -414,15 +514,39 @@ def run_scaling(tmp: str, n_rows: int) -> dict:
 def _scale_worker(argv):
     cpus, n_rows, out_dir, out_json = int(argv[0]), int(argv[1]), argv[2], argv[3]
     passes = int(argv[4]) if len(argv) > 4 else 3
+    corpus_dir = argv[5] if len(argv) > 5 else None
     spark = make_spark(cpus)
-    r = pipeline_run(spark, n_rows, out_dir, passes=passes)
+    r = pipeline_run(spark, n_rows, out_dir, passes=passes,
+                     corpus_dir=corpus_dir)
     spark.stop()
     with open(out_json, "w") as fh:
         json.dump(r, fh)
 
 
+def _gen_corpus(argv):
+    """Materialize the shared scaling corpus (not timed; any level)."""
+    n_rows, corpus_dir = int(argv[0]), argv[1]
+    from pysyslog.gen import gen_tokens_df
+
+    spark = make_spark(8)
+    sidecar = os.path.join(corpus_dir, "_n_rows.json")
+    if os.path.exists(os.path.join(corpus_dir, "_SUCCESS")) and os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            if json.load(fh).get("n_rows") == n_rows:
+                spark.stop()
+                return
+    gen_tokens_df(spark, n_rows, partitions=32).write.mode("overwrite").parquet(
+        corpus_dir
+    )
+    with open(sidecar, "w") as fh:
+        json.dump({"n_rows": n_rows}, fh)
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
         _scale_worker(sys.argv[2:])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--gen-corpus":
+        _gen_corpus(sys.argv[2:])
     else:
         main()

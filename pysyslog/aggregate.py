@@ -53,6 +53,37 @@ def sink_counts(enriched: DataFrame) -> DataFrame:
     )
 
 
+def pipeline_counts(enriched: DataFrame):
+    """One-pass twin of (hourly_facility_severity_counts, sink_counts):
+    a single shuffled aggregate on (facility, severity, hour) feeds
+    both outputs, instead of two full scans of the input.
+
+    hour = date_trunc('hour', ts) groups identically to
+    window('ts','1 hour').start for these fixed hour-aligned windows,
+    EXCEPT that null-ts rows are kept as a null-hour group (window()
+    drops them) — so the hourly view filters the null group back out
+    while the sink totals sum over every group and count every row,
+    exactly like the two-pass originals.  Returns (base, hourly, sinks);
+    the caller persists `base` (≤ sinks × hours rows — tiny next to the
+    input) and both views are cheap derivations from it."""
+    base = (
+        enriched.groupBy(
+            "facility_name", "severity_name",
+            F.date_trunc("hour", "ts").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hourly = base.filter(F.col("hour").isNotNull())
+    sinks = (
+        base.groupBy("facility_name", "severity_name")
+        .agg(F.sum("n").alias("n"))
+        .withColumn(
+            "sink", F.concat_ws("/", F.col("facility_name"), F.col("severity_name"))
+        )
+    )
+    return base, hourly, sinks
+
+
 def salted_counts(df: DataFrame, key_col: str, n_salts: int = 32,
                   out_col: str = "n") -> DataFrame:
     """Two-stage salted count-by-key for Zipf-skewed keys.
@@ -70,13 +101,19 @@ def salted_counts(df: DataFrame, key_col: str, n_salts: int = 32,
     # Hashing the row content is stable under recompute.  MAP columns
     # are excluded (Spark forbids hashing maps — element order varies);
     # the remaining columns still spread a hot key's rows uniformly.
-    # CAVEAT: byte-identical rows hash to ONE salt value, so a flood of
-    # exact duplicate records would re-concentrate.  Every table in
-    # this engine carries a physically-unique column (doc_id/line_no),
-    # which the hash includes, so identical-full-row floods cannot
-    # occur here; a schema without one needs an explicit unique salt
-    # source instead.
-    hashable = [f.name for f in df.schema.fields if not _has_map(f.dataType)]
+    # CAVEAT: byte-identical salt inputs hash to ONE salt value, so a
+    # flood of duplicate values would re-concentrate.  Every table in
+    # this engine carries a physically-unique column (doc_id / line_no
+    # / event_id), so hashing just that column spreads uniformly —
+    # hashing the whole ~30-column enriched row costs ~30 hashes per
+    # input row for no extra spread.  A schema without a unique column
+    # falls back to hashing every hashable column (uniqueness caveat
+    # applies there).
+    names = {f.name for f in df.schema.fields}
+    unique = [c for c in ("doc_id", "line_no", "event_id") if c in names]
+    hashable = unique or [
+        f.name for f in df.schema.fields if not _has_map(f.dataType)
+    ]
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(n_salts))
     stage1 = (
         df.withColumn("__salt", salt)

@@ -25,7 +25,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .aggregate import hourly_facility_severity_counts, sink_counts
+from .aggregate import pipeline_counts
 from .enrich import enrich
 from .options import ParserOptions
 from .parser import parse_syslog
@@ -103,15 +103,20 @@ def run_pipeline(
         m["rows_in"] = enriched.count()
         m["parse_no_ts"] = enriched.filter(F.col("ts").isNull()).count()
         route_by_facility_severity(
-            enriched, os.path.join(out_dir, f"bucket={b}"), mode="overwrite"
+            enriched, os.path.join(out_dir, f"bucket={b}"), mode="overwrite",
+            rows_hint=m["rows_in"],
         )
-        agg = hourly_facility_severity_counts(enriched)
-        agg.write.mode("overwrite").parquet(
+        # one shuffled aggregate feeds BOTH the hourly table and the
+        # per-sink totals (pipeline_counts) instead of two input scans
+        base, hourly, sinks = pipeline_counts(enriched)
+        base = base.persist()
+        hourly.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"bucket={b}", "agg_hourly")
         )
-        sink_counts(enriched).write.mode("overwrite").parquet(
+        sinks.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"bucket={b}", "sink_counts")
         )
+        base.unpersist()
         enriched.unpersist()
 
         m["seconds"] = round(time.time() - t0, 3)

@@ -28,7 +28,8 @@ def route_by_facility_severity(
     out_dir: str,
     mode: str = "overwrite",
     max_records_per_file: int = 1_000_000,
-    files_per_sink: int = 4,
+    files_per_sink: int | None = None,
+    rows_hint: int | None = None,
     iceberg_table: str | None = None,
 ) -> str:
     """Repartitions on (sink keys, bounded salt) before the partitioned
@@ -38,11 +39,29 @@ def route_by_facility_severity(
     tasks, and the salt keeps one hot sink from serializing into a
     single task.
 
+    The salt granularity is sized to the DATA, not a constant: the salt
+    exists so no write task holds more than ~max_records_per_file rows
+    of one hot sink, so the right value is
+    ceil(hot-sink rows / max_records_per_file) — a constant oversized
+    salt at small volume shatters every sink into sub-file-size pieces
+    (measured: salt 4 at 1.2M rows → 636 files of ~1900 rows, 1.6x
+    slower than salt 1's 191 right-sized files), while a constant
+    undersized salt at 10^12 rows serializes a hot sink into one task.
+    Callers that know the input size pass `rows_hint`; the hot sink is
+    budgeted as up to half the corpus.  Explicit `files_per_sink`
+    overrides (and `None` with no hint keeps the legacy 4).
+
     With an Iceberg runtime on the classpath and `iceberg_table` given,
     the identical DataFrame goes through `writeTo(...)` with identity
     partition transforms instead (pysyslog.iceberg) — snapshot commits,
     same plan shape."""
     from .iceberg import write_partitioned
+
+    if files_per_sink is None:
+        if rows_hint is None:
+            files_per_sink = 4
+        else:
+            files_per_sink = max(1, -(-rows_hint // (2 * max_records_per_file)))
 
     path = os.path.join(out_dir, "by_facility_severity")
     salt = F.pmod(F.xxhash64("doc_id"), F.lit(files_per_sink))

@@ -86,6 +86,37 @@ def test_hourly_agg_matches_oracle(spark, corpus):
     assert got == dict(want)
 
 
+def test_pipeline_counts_equal_two_pass_originals(spark, corpus):
+    """The one-pass pipeline_counts must reproduce BOTH two-pass
+    originals exactly — including on a corpus with a null-ts row, where
+    window() silently drops the row from hourly but sink totals must
+    still count it."""
+    from pyspark.sql import functions as F
+
+    from pysyslog.aggregate import pipeline_counts
+
+    df = transform(corpus, OPTS)
+    # forge one unparseable-timestamp record: null ts, keeps fac/sev
+    extra = df.limit(1).withColumn("ts", F.lit(None).cast("timestamp"))
+    df = df.unionByName(extra)
+
+    base, hourly, sinks = pipeline_counts(df)
+    want_h = {
+        (r["facility_name"], r["severity_name"], str(r["hour"])): r["n"]
+        for r in hourly_facility_severity_counts(df).collect()
+    }
+    got_h = {
+        (r["facility_name"], r["severity_name"], str(r["hour"])): r["n"]
+        for r in hourly.collect()
+    }
+    assert got_h == want_h
+    want_s = {r["sink"]: r["n"] for r in sink_counts(df).collect()}
+    got_s = {r["sink"]: r["n"] for r in sinks.collect()}
+    assert got_s == want_s
+    # the null-ts row is in the sink totals but not in hourly
+    assert sum(want_s.values()) == sum(got_h.values()) + 1
+
+
 def test_salted_counts_equal_plain_groupby(spark, corpus):
     df = transform(corpus, OPTS)
     plain = {
