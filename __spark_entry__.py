@@ -642,17 +642,40 @@ def q_rolling_fingerprint(spark, sf_dir):
     )
 
 
+# gen.py template cohorts whose facility/severity/hour are closed-form
+# functions of the row id (no second-timestamp / relay / tag-level
+# semantics): the DuckDB oracle replays gen.py's splitmix64 hashing in
+# SQL (see _syslog_pipeline_sql) and predicts the aggregate exactly.
+# The four excluded templates (bsd_cron, cisco_catalyst, rfc5424_sd,
+# netapp) are each value-gated through their dedicated parse queries.
+SQL_COHORT_SOURCES = [
+    "bsd_sshd", "bsd_kv", "iso_micro", "iso_json", "bsd_loose_sd",
+    "year_prefixed",
+]
+PIPELINE_ROWS = 6000
+
+
 def q_syslog_pipeline(spark, sf_dir):
     """Full engine slice on the synthesized corpus: tokens → detokenize
-    → parse → enrich → hourly facility×severity aggregate."""
+    → parse → enrich → hourly facility×severity aggregate, restricted
+    to the SQL-predictable template cohorts (~70% of rows) so the
+    flagship slice is value-hash-gated, not just row-counted."""
     from pysyslog.aggregate import hourly_facility_severity_counts
     from pysyslog.gen import gen_tokens_df
     from pysyslog.pipeline import transform
 
-    tokens = gen_tokens_df(spark, 6000)
-    return hourly_facility_severity_counts(transform(tokens, OPTS)).orderBy(
-        "facility_name", "severity_name", "hour"
+    tokens = gen_tokens_df(spark, PIPELINE_ROWS).filter(
+        F.col("source").isin(SQL_COHORT_SOURCES)
     )
+    hourly = hourly_facility_severity_counts(transform(tokens, OPTS))
+    return hourly.select(
+        "facility_name",
+        "severity_name",
+        # hour rendered as string: Arrow timestamp units differ between
+        # engines and break the driver's value hash (same as agg_hourly)
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("n"),
+    ).orderBy("facility_name", "severity_name", "hour")
 
 
 # --------------------------------------------------------------------------
@@ -717,6 +740,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": q_rolling_fingerprint,
         "syslog_pipeline": q_syslog_pipeline,
     }
+
+
+# ---- syslog_pipeline oracle: gen.py replayed in SQL -----------------------
+# gen.py derives every row field from splitmix64(row_id ^ mixer(salt))
+# (gen.py:51-64).  That hash is replayed here in DuckDB SQL — HUGEINT
+# arithmetic with split multiplication, since a 64x64-bit product
+# overflows signed INT128 — so the oracle predicts the engine's
+# facility x severity x hour aggregate over the REAL generated corpus
+# (restricted to SQL_COHORT_SOURCES) from first principles.
+
+def _splitmix_ctes(salts: dict[str, int], seed: int = 42,
+                   src: str = "ids", id_col: str = "i") -> str:
+    """Chained CTEs hx0..hx6 computing gen._h(i, salt, seed) as column
+    `name` for each (name, salt) entry; reference the result as hx6."""
+    m64 = "18446744073709551616::HUGEINT"
+
+    def mul(col: str, c: int) -> str:
+        # (col * c) mod 2^64 via 32-bit split: hi*c mod 2^32 re-shifted
+        # plus lo*c, every intermediate < 2^97 (fits HUGEINT)
+        return (
+            f"((((({col}) >> 32) * {c}::HUGEINT) % 4294967296) * 4294967296"
+            f" + ((({col}) % 4294967296) * {c}::HUGEINT)) % {m64}"
+        )
+
+    def xs(col: str, s: int) -> str:
+        return f"xor(({col})::UBIGINT, (({col}) >> {s})::UBIGINT)::HUGEINT"
+
+    cols0 = []
+    for name, salt in salts.items():
+        mixer = (seed * 0x5851F42D4C957F2D + salt) & 0xFFFFFFFFFFFFFFFF
+        cols0.append(
+            f"xor(({id_col})::UBIGINT, {mixer}::UBIGINT)::HUGEINT AS {name}"
+        )
+    steps = [f"hx0 AS (SELECT {id_col}, {', '.join(cols0)} FROM {src})"]
+
+    def step(k: int, fn) -> None:
+        cols = ", ".join(f"{fn(n)} AS {n}" for n in salts)
+        steps.append(f"hx{k} AS (SELECT {id_col}, {cols} FROM hx{k - 1})")
+
+    step(1, lambda n: f"(({n} + 11400714819323198485::HUGEINT) % {m64})")
+    step(2, lambda n: xs(n, 30))
+    step(3, lambda n: mul(n, 0xBF58476D1CE4E5B9))
+    step(4, lambda n: xs(n, 27))
+    step(5, lambda n: mul(n, 0x94D049BB133111EB))
+    step(6, lambda n: xs(n, 31))
+    return ",\n".join(steps)
+
+
+def _syslog_pipeline_sql() -> str:
+    """DuckDB replay of q_syslog_pipeline: template selection (h salt
+    1, cumulative weights gen.py:35), PRI (salt 2, mod 191), epoch
+    (salt 4, mod 120 days) — then gen.py's month/day remap
+    (gen.py:116-122), the iso_micro +02:00 offset, and enrich's
+    user/notice fallback for PRI-less templates (enrich.py:44-60)."""
+    # tsel indices: 0 bsd_sshd, 1 bsd_cron, 2 bsd_kv, 3 iso_micro,
+    # 4 iso_json, 5 cisco, 6 rfc5424, 7 netapp, 8 bsd_loose_sd,
+    # 9 year_prefixed.  Cohort = {0,2,3,4,8,9}; PRI-bearing = {0,3,8}.
+    fac = _fac_case("CASE WHEN tsel IN (0,3,8) THEN p - p % 8 ELSE 8 END")
+    sev = _sev_case("CASE WHEN tsel IN (0,3,8) THEN p % 8 ELSE 5 END")
+    return f"""
+        WITH ids AS (SELECT i FROM range({PIPELINE_ROWS}) t(i)),
+        {_splitmix_ctes({"h1": 1, "h2": 2, "h4": 4})},
+        t AS (
+            SELECT (h2 % 191)::BIGINT AS p,
+                   (h4 % {86400 * 120})::BIGINT AS e,
+                   CASE WHEN h1 % 100 < 30 THEN 0 WHEN h1 % 100 < 40 THEN 1
+                        WHEN h1 % 100 < 52 THEN 2 WHEN h1 % 100 < 66 THEN 3
+                        WHEN h1 % 100 < 72 THEN 4 WHEN h1 % 100 < 80 THEN 5
+                        WHEN h1 % 100 < 88 THEN 6 WHEN h1 % 100 < 92 THEN 7
+                        WHEN h1 % 100 < 96 THEN 8 ELSE 9 END AS tsel
+            FROM hx6
+        ),
+        c AS (
+            SELECT tsel, p,
+                   make_timestamp(2018, 6 + (e // 86400) // 30,
+                                  (e // 86400) % 28 + 1,
+                                  (e % 86400) // 3600, (e % 3600) // 60,
+                                  (e % 60)::DOUBLE)
+                   - CASE WHEN tsel = 3 THEN INTERVAL 2 HOUR
+                          ELSE INTERVAL 0 HOUR END AS ts
+            FROM t WHERE tsel IN (0, 2, 3, 4, 8, 9)
+        )
+        SELECT {fac} AS facility_name,
+               {sev} AS severity_name,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               count(*) AS n
+        FROM c GROUP BY 1, 2, 3
+    """
 
 
 def _sev_case(expr: str) -> str:
@@ -1346,6 +1457,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _embedding_near_dups_sql(),
         "rolling_fingerprint": _rolling_fp_sql(),
         "multimodal_features": _multimodal_features_sql(),
+        "syslog_pipeline": _syslog_pipeline_sql(),
         "ann_cosine_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3

@@ -13,10 +13,15 @@ Env:
                        proxy) and report efficiency; set 0 to skip
   PSL_BENCH_SCALE_N    small level N (default 2; see BASELINE.md for
                        why 2->8 and not 8->32 on this sandbox)
-  PSL_BENCH_SCALE_REPS interleaved N/4N rep pairs (default 5)
+  PSL_BENCH_SCALE_REPS interleaved N/4N rep pairs (default 3)
+  PSL_BENCH_SCALE_PASSES in-process passes per level per rep; the
+                       fastest is kept (default 2)
   PSL_BENCH_SCALE_ROWS_MULT  scaling corpus = headline rows x this
                        (default 4 — amortizes fixed per-job cost)
   PSL_BENCH_SCALE_SETTLE_SEC settle sleep between level runs (default 15)
+  PSL_BENCH_TMPDIR     bench IO dir (default /dev/shm when present:
+                       tmpfs removes this sandbox's 1.3-1.5x disk
+                       variance, which is noise, not plan behavior)
 
 Stdout is ONE compact JSON line (driver contract); the full evidence
 (config matrix, per-rep scaling detail) is written to BENCH_DETAIL.json
@@ -67,9 +72,14 @@ def make_spark(cpus: int):
 
 
 def pipeline_run(spark, n_rows: int, out_dir: str, warmup: bool = True,
-                 passes: int = 1, corpus_dir: str | None = None) -> dict:
+                 passes: int = 1, corpus_dir: str | None = None,
+                 pick: str = "median") -> dict:
     """End-to-end passes; returns stage timings + lines/sec for the
-    MEDIAN pass (by total time), with every pass's numbers in "passes".
+    MEDIAN pass by total time (pick="median") or the FASTEST pass
+    (pick="min" — used by the scaling reps, where interference is
+    one-sided: steal/GC/JIT hiccups only ever slow a pass down, so the
+    fastest of the in-process passes is the least-interfered estimate
+    of steady state).  Every pass's numbers are in "passes".
 
     A warmup pass on a 5% slice runs first (not timed): it JIT-compiles
     the JVM paths and spins up the Python workers, so the timed passes
@@ -171,8 +181,8 @@ def pipeline_run(spark, n_rows: int, out_dir: str, warmup: bool = True,
             "total_sec": round(total, 3),
             "lines_per_sec": round(n / total, 1),
         })
-    median = sorted(results, key=lambda r: r["total_sec"])[len(results) // 2]
-    out = dict(median)
+    ranked = sorted(results, key=lambda r: r["total_sec"])
+    out = dict(ranked[0] if pick == "min" else ranked[len(ranked) // 2])
     if passes > 1:
         out["passes"] = [r["total_sec"] for r in results]
     return out
@@ -268,7 +278,14 @@ def main():
     detail: dict = {"sf": SF, "cpus": CPUS}
     detail["config_matrix_rows_per_sec_1core"] = config_matrix()
 
-    tmp = tempfile.mkdtemp(prefix="pysyslog-bench-")
+    # bench IO lives on tmpfs when available: the plan under test is
+    # CPU/shuffle-bound (a real deployment writes to an object store /
+    # Iceberg), and this sandbox's single virtual disk adds 1.3-1.5x
+    # run-to-run variance that is measurement noise, not plan behavior
+    tmp_base = os.environ.get(
+        "PSL_BENCH_TMPDIR", "/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    tmp = tempfile.mkdtemp(prefix="pysyslog-bench-", dir=tmp_base)
     try:
         spark = make_spark(CPUS)
         pipe = pipeline_run(spark, n_rows, os.path.join(tmp, f"c{CPUS}"), passes=3)
@@ -312,8 +329,9 @@ def main():
     # sidecar carries everything (config matrix, per-rep scaling detail,
     # per-level pass times); stdout stays ONE compact line — round 2's
     # full dump (~2.8 KB) overflowed the driver's stdout-tail capture
-    # and the headline number became machine-unreadable
-    detail.update(result)
+    # and the headline number became machine-unreadable.  (result's
+    # compact "scaling" must NOT clobber the full one already in detail)
+    detail.update({k: v for k, v in result.items() if k not in detail})
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
@@ -386,16 +404,20 @@ def run_scaling(tmp: str, n_rows: int) -> dict:
     # measurement reads overhead, not plan scalability
     scale_rows = n_rows * int(os.environ.get("PSL_BENCH_SCALE_ROWS_MULT", "4"))
     levels = sorted({n_small, n_small * 2, n_small * 4})
-    reps = int(os.environ.get("PSL_BENCH_SCALE_REPS", "5"))
+    reps = int(os.environ.get("PSL_BENCH_SCALE_REPS", "3"))
+    passes = int(os.environ.get("PSL_BENCH_SCALE_PASSES", "2"))
     settle = int(os.environ.get("PSL_BENCH_SCALE_SETTLE_SEC", "15"))
     corpus_dir = os.path.join(tmp, "scale_corpus")
 
     def _invoke(cpus, i):
+        # each invocation runs `passes` in-process passes and reports
+        # the FASTEST (interference is one-sided — see pipeline_run)
         out_json = os.path.join(tmp, f"scale{cpus}_{i}.json")
         subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--scale-worker", str(cpus), str(scale_rows),
-             os.path.join(tmp, f"scale{cpus}"), out_json, "1", corpus_dir],
+             os.path.join(tmp, f"scale{cpus}"), out_json, str(passes),
+             corpus_dir],
             check=True,
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
@@ -517,7 +539,7 @@ def _scale_worker(argv):
     corpus_dir = argv[5] if len(argv) > 5 else None
     spark = make_spark(cpus)
     r = pipeline_run(spark, n_rows, out_dir, passes=passes,
-                     corpus_dir=corpus_dir)
+                     corpus_dir=corpus_dir, pick="min")
     spark.stop()
     with open(out_json, "w") as fh:
         json.dump(r, fh)

@@ -39,12 +39,42 @@ def build_options(args) -> ParserOptions:
     )
 
 
+def _ddp(v, indent: int = 0) -> str:
+    """Data::Printer-style hash dump (⇔ the reference CLI's default
+    `print|ddp` format, parse-syslog-line.pl:15-17,33): aligned keys,
+    nested braces, quoted strings.  Structure-equivalent, not
+    byte-identical — Data::Printer's ANSI colors/addresses are
+    terminal decoration, not data."""
+    pad = "    " * indent
+    if isinstance(v, dict):
+        if not v:
+            return "{}"
+        w = max(len(str(k)) for k in v)
+        inner = "".join(
+            f"{pad}    {k:<{w}}   {_ddp(v[k], indent + 1)},\n" for k in sorted(v)
+        )
+        return "{\n" + inner + pad + "}"
+    if isinstance(v, (list, tuple)):
+        inner = "".join(f"{pad}    [{i}] {_ddp(x, indent + 1)},\n"
+                        for i, x in enumerate(v))
+        return "[\n" + inner + pad + "]"
+    if v is None:
+        return "undef"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return str(v)
+    return f'"{v}"'
+
+
 def _render(msg: dict, fmt: str) -> str:
     c = canon(msg)
     if fmt == "json":
         return json.dumps(c, sort_keys=True, ensure_ascii=False)
     if fmt == "pretty":
         return json.dumps(c, sort_keys=True, ensure_ascii=False, indent=2)
+    if fmt in ("print", "ddp"):
+        return _ddp(c)
     # minimal yaml-ish rendering without external deps
     lines = []
     for k in sorted(c):
@@ -57,7 +87,8 @@ def main(argv=None) -> int:
     ap.add_argument("input", nargs="?", help="text file/dir (Spark mode); omit for --stdin")
     ap.add_argument("--stdin", action="store_true", help="read lines from stdin (no Spark)")
     ap.add_argument("--output", help="output dir for Spark mode (default: stdout json)")
-    ap.add_argument("--format", choices=["json", "pretty", "yaml"], default="json")
+    ap.add_argument("--format", choices=["json", "pretty", "yaml", "print", "ddp"],
+                    default="json")
     ap.add_argument("--json-detect", action="store_true", help="⇔ AutoDetectJSON")
     ap.add_argument("--kv-detect", action="store_true", help="⇔ AutoDetectKeyValues")
     ap.add_argument("--strict-sdata", action="store_true", help="⇔ RFC5424StructuredDataStrict")

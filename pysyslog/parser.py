@@ -161,51 +161,51 @@ def _fast_regex(options: ParserOptions):
         or options.fmt_date is not None
     ):
         return None
-    # content may not contain anything a later stage would consume:
-    # '[' guards both SDATA forms, '{' the JSON detector (only when
-    # enabled), '=' the K/V detector (only when enabled)
+    # content may not contain anything a later stage would REWRITE:
+    # '[' guards both SDATA forms (they splice content).  The JSON and
+    # K/V detectors only ADD the SDATA fields — content untouched — so
+    # '{' / '=' rows stay in the fast cohort and _fast_cols computes
+    # their sdata through the same shared stage bodies
+    # (parser_core.json_tail_sdata / kv_sdata) the state machine runs.
     excl = "\\[\\n"
-    if options.auto_detect_json:
-        excl += "{"
-    if options.auto_detect_key_values:
-        excl += "="
     import re as _re
 
-    # dt: plain BSD (no year prefix / fraction) or ISO8601 — same shapes
-    # the slow path's RE_DATE_BSD / RE_DATE_ISO would consume.
+    # dt: plain BSD (optional leading year — the (?=[A-Z]) lookahead
+    # binds it to the BSD branch only, matching RE_DATE_BSD's year
+    # prefix; optional fractional seconds) or ISO8601 — same shapes the
+    # slow path's RE_DATE_BSD / RE_DATE_ISO would consume.
     # host: either a bare IPv4 (host==host_raw, no domain split) or
     # dotted labels that each start with a letter — such a string cannot
     # contain an IPv4 substring (needs digit.digit), so the slow path's
-    # IP-in-host special case is provably inert on this cohort.
+    # IP-in-host special case is provably inert on this cohort.  The
+    # host slot may be ABSENT only when the program is a leading-/
+    # path ((?=/) branch) — the state machine's no-host cron form.
     # program: a leading-/ path (keeps '/' without the name/sub split,
     # ⇔ Line.pm name.startswith('/') rule) or a letter-led token with
     # no '/' (so the split rule can't fire); the letter-led start also
     # makes the relay and Cisco stages no-ops (both need digit/ws/':').
+    # the datetime COMPONENTS are captured here too (bmon/bday/... for
+    # BSD, iy/imo/... for ISO) so the vectorized derivation works from
+    # this one regex pass instead of re-extracting per cohort
     return _re.compile(
         r"^(?:<(?P<pre>\d{1,3})>)?"
-        r"(?P<dt>[A-Z][a-z]{2}\s+\d{1,2}\s+\d{2}:\d{2}:\d{2}"
-        r"|\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}\S*)"
-        r"\s(?P<host>\d{1,3}(?:\.\d{1,3}){3}"
-        r"|[A-Za-z][A-Za-z0-9_-]*(?:\.[A-Za-z][A-Za-z0-9_-]*)*)"
-        r"\s(?P<praw>(?P<prog>/[A-Za-z0-9._/-]+|[A-Za-z][A-Za-z0-9._-]+)"
+        r"(?:(?P<yr>\d{4})\s(?=[A-Z]))?"
+        # fraction: exactly .mmm or .uuuuuu (RE_DATE_BSD's envelope) —
+        # other digit counts are consumed only partially by the slow
+        # path, so they must fall through to it
+        r"(?P<dt>(?P<bmon>[A-Z][a-z]{2})\s+(?P<bday>\d{1,2})\s+"
+        r"(?P<bh>\d{2}):(?P<bmi>\d{2}):(?P<bs>\d{2})"
+        r"(?:\.(?P<bfr>\d{3}(?!\d)|\d{6}(?!\d)))?"
+        r"|(?P<iy>\d{4})-(?P<imo>\d{2})-(?P<iday>\d{2})[T ]"
+        r"(?P<ih>\d{2}):(?P<imi>\d{2}):(?P<isec>\d{2})"
+        r"(?:\.(?P<ifr>\d{3}|\d{6}(?!\d))(?!\d))?"
+        r"(?P<ioff>Z|[+-]\d{2}:?\d{2})?(?P<irest>\S*))"
+        r"\s(?:(?P<host>\d{1,3}(?:\.\d{1,3}){3}"
+        r"|[A-Za-z][A-Za-z0-9_-]*(?:\.[A-Za-z][A-Za-z0-9_-]*)*)\s|(?=/))"
+        r"(?P<praw>(?P<prog>/[A-Za-z0-9._/-]+|[A-Za-z][A-Za-z0-9._-]+)"
         r"(?:\[(?P<pid>[^\]:()]+)\])?)"
         r":\s+(?P<content>[^" + excl + r"]*)$"
     )
-
-
-_RE_ISO_VEC = None
-
-
-def _iso_vec_regex():
-    global _RE_ISO_VEC
-    if _RE_ISO_VEC is None:
-        import re as _re
-
-        _RE_ISO_VEC = _re.compile(
-            r"^(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2}):(\d{2})"
-            r"(?:\.(\d{3}|\d{6}))?(Z|[+-]\d{2}:?\d{2})?$"
-        )
-    return _RE_ISO_VEC
 
 
 _DIM_VEC = None
@@ -226,119 +226,195 @@ def _days_in_month_vec(y, mo):
     return dim
 
 
-def _iso_dt_tuples(parser, dts):
-    """Vectorized datetime derivation for ISO-form datetime_raw strings
-    (offset given or UTC; 0/3/6-digit fractions whose 3/6/9 shortest-
-    exact rendering is the identity).  Rows outside that envelope fall
-    back to the per-row memoized path, so output is identical either
-    way.  Returns a list of field tuples aligned with `dts`.
-
-    Rendering datetime_utc is the only real work: epoch seconds come
-    from branchless civil-date arithmetic on integer arrays, and
-    np.datetime_as_string emits the YYYY-MM-DDTHH:MM:SS prefix in C."""
+def _days_from_civil_vec(y, mo, d):
+    """Vector twin of parser_core._days_from_civil (y may be scalar)."""
     import numpy as np
 
+    yy = y - (mo <= 2)
+    era = yy // 400
+    yoe = yy - era * 400
+    doy = (153 * (mo + np.where(mo > 2, -3, 9)) + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+_MONTH_1BASED = None
+
+
+def _month_map():
+    global _MONTH_1BASED
+    if _MONTH_1BASED is None:
+        from .tables import MONTH_NUM
+
+        _MONTH_1BASED = {k: v + 1 for k, v in MONTH_NUM.items()}
+    return _MONTH_1BASED
+
+
+def _bsd_dt_tuples(parser, comps, yrs):
+    """Vectorized datetime derivation for BSD rows from the master
+    regex's component groups (`comps` = parallel lists mon/day/h/mi/s/
+    frac as captured — no second regex pass): explicit year when the
+    line carried a year prefix (`yrs[i]` a 4-digit string, else NaN),
+    otherwise the year-inference rule (local year, minus one if >1 day
+    in the future — parser_core._parse_bsd_datetime / Line.pm:796-802)
+    — applied with numpy civil-date arithmetic.  Rows outside the
+    envelope — unknown month abbr (the month-1 Perl quirk), invalid
+    components (the now-fallback), Feb 29 under inference (leap
+    ambiguity across the candidate years), fractions whose re-render
+    isn't identity — fall back to the per-row memoized path, so output
+    is identical either way."""
+    import numpy as np
+
+    mon_l, day_l, h_l, mi_l, s_l, fr_l, dts = comps
     n = len(dts)
     out = [None] * n
-    g = pd.Series(dts, dtype=object).str.extract(_iso_vec_regex())
-    frac = g[6]
-    off = g[7]
-    ok = g[0].notna()
-    # fractions ending 000 re-render shorter ('.000' -> '', '.123000'
-    # -> '.123'): not identity, so those rows take the per-row path
-    ok &= ~(frac.notna() & frac.str.endswith("000"))
-    okv = ok.to_numpy()
-    if okv.any():
-        idx = np.flatnonzero(okv)
-        y = g[0].iloc[idx].to_numpy(dtype="int64")
-        mo = g[1].iloc[idx].to_numpy(dtype="int64")
-        d = g[2].iloc[idx].to_numpy(dtype="int64")
-        h = g[3].iloc[idx].to_numpy(dtype="int64")
-        mi = g[4].iloc[idx].to_numpy(dtype="int64")
-        s = g[5].iloc[idx].to_numpy(dtype="int64")
-        valid = (
-            (y >= 1) & (mo >= 1) & (mo <= 12) & (d >= 1)
-            & (h <= 23) & (mi <= 59) & (s <= 59)
-        )
-        valid &= d <= _days_in_month_vec(y, mo)
-        offs = off.iloc[idx]
-        offv = np.zeros(len(idx), dtype="int64")
-        nz = (offs.notna() & (offs != "Z")).to_numpy()
-        if nz.any():
-            ostr = offs.to_numpy(dtype=object)[nz]
-            offv[nz] = np.array(
-                [
-                    (-1 if o[0] == "-" else 1)
-                    * (int(o[1:3]) * 60 + int(o.replace(":", "")[3:5]))
-                    for o in ostr
-                ],
-                dtype="int64",
-            )
-        # branchless civil-date arithmetic (vector twin of
-        # parser_core._days_from_civil)
-        yy = y - (mo <= 2)
-        era = yy // 400
-        yoe = yy - era * 400
-        doy = (153 * (mo + np.where(mo > 2, -3, 9)) + 2) // 5 + d - 1
-        doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
-        days = era * 146097 + doe - 719468
-        sec = days * 86400 + h * 3600 + mi * 60 + s - offv * 60
-        base = np.datetime_as_string(sec.astype("datetime64[s]"), unit="s")
-        fr = frac.iloc[idx].tolist()
-        fracdot = np.array(
-            ["" if f != f else "." + f for f in fr], dtype=object
-        )
-        frus = np.array(
-            [0 if f != f else int(str(f).ljust(6, "0")) for f in fr],
+    mon_map = _month_map()
+    mo_num = [mon_map.get(m) if m == m else None for m in mon_l]
+    ok = [
+        mn is not None and not (f == f and f.endswith("000"))
+        for mn, f in zip(mo_num, fr_l)
+    ]
+    if any(ok):
+        idx = [i for i, o in enumerate(ok) if o]
+        mo = np.array([mo_num[i] for i in idx], dtype="int64")
+        d = np.array([int(day_l[i]) for i in idx], dtype="int64")
+        h = np.array([int(h_l[i]) for i in idx], dtype="int64")
+        mi = np.array([int(mi_l[i]) for i in idx], dtype="int64")
+        s = np.array([int(s_l[i]) for i in idx], dtype="int64")
+        yv = np.array(
+            [int(yrs[i]) if yrs[i] == yrs[i] else parser.local_year
+             for i in idx],
             dtype="int64",
         )
-        utc = np.char.add(np.char.add(base, fracdot.astype(str)), "Z")
-        off0 = offv == 0
-        sec_str = sec.astype(str)
-        epoch_str = np.char.add(sec_str, fracdot.astype(str))
-        epoch_us = sec * 1_000_000 + frus
-        # non-zero offsets: wall components are the input's own fields
-        time_part = np.char.add(
-            np.array([f"{a:02d}:{b:02d}:{c:02d}" for a, b, c in zip(h, mi, s)]),
-            fracdot.astype(str),
+        hy = np.array([yrs[i] == yrs[i] for i in idx], dtype=bool)
+        dim = _days_in_month_vec(yv, mo)
+        valid = (
+            (yv >= 1) & (d >= 1) & (d <= dim) & (h <= 23) & (mi <= 59)
+            & (s <= 59) & ~((mo == 2) & (d == 29) & ~hy)
         )
-        date_part = np.array([f"{a:04d}-{b:02d}-{c:02d}" for a, b, c in zip(y, mo, d)])
-        offnorm = np.array(
-            [
-                "Z" if z else (o[0] + o.replace(":", "")[1:5])
-                for z, o in zip(off0, offs.to_numpy(dtype=object))
-            ],
-            dtype=object,
-        )
-        dstr = np.where(
-            off0, utc,
-            np.char.add(
-                np.char.add(np.char.add(date_part, "T"), time_part),
-                offnorm.astype(str),
-            ),
-        )
-        date_out = np.where(off0, base.astype("U10"), date_part)
-        # reference time = datetime_str split on [ T] then [+-Z]: the
-        # wall-clock time incl. fraction on both branches
-        time_utc = np.array([b[11:] for b in base], dtype=object)
-        time_out = np.where(
-            off0, np.char.add(time_utc.astype(str), fracdot.astype(str)), time_part
-        )
+        sec = _days_from_civil_vec(yv, mo, d) * 86400 + h * 3600 + mi * 60 + s
+        # "in the future" -> previous year (inference rows only); day
+        # validity is identical in y-1 because inferred Feb 29 rows
+        # are excluded above
+        prev = _days_from_civil_vec(yv - 1, mo, d) * 86400 + h * 3600 + mi * 60 + s
+        sec = np.where(~hy & (sec > int(parser.now_epoch) + 86400), prev, sec)
+        basel = np.datetime_as_string(sec.astype("datetime64[s]"), unit="s").tolist()
+        secl = sec.tolist()
+        validl = valid.tolist()
         for j, i in enumerate(idx):
-            if valid[j]:
+            if validl[j]:
+                f = fr_l[i]
+                fd = "." + f if f == f else ""
+                b = basel[j]
+                utc = b + fd + "Z"
+                sv = secl[j]
+                us = sv * 1_000_000 + (int(str(f).ljust(6, "0")) if f == f else 0)
                 out[i] = (
-                    epoch_str[j], utc[j], utc[j], dstr[j], offnorm[j],
-                    date_out[j], time_out[j], int(epoch_us[j]),
+                    str(sv) + fd, utc, utc, utc, "Z", b[:10], b[11:] + fd, us,
                 )
-    # fallback rows: per-row memoized derivation (identical output)
-    for i in range(n):
+    _dt_fallback(parser, dts, yrs, out)
+    return out
+
+
+def _dt_fallback(parser, dts, yrs, out):
+    """Per-row memoized derivation for rows the vector path skipped
+    (identical output by construction).  Year-prefixed rows
+    reconstruct the ORIGINAL "yyyy Mmm d ..." order for RE_DATE_BSD
+    (the state machine's datetime_raw puts the year at the END, which
+    RE_DATE_BSD would not re-match)."""
+    from .parser_core import RE_DATE_BSD
+
+    for i in range(len(dts)):
         if out[i] is None:
-            dd = parser.dt_fields(dts[i])
+            yr = yrs[i]
+            if yr == yr:
+                src = f"{yr} {dts[i]}"
+                m = RE_DATE_BSD.match(src)
+                groups = m.groups() if m and m.end() == len(src) else None
+                dd = parser.dt_fields(f"{dts[i]} {yr}", groups)
+            else:
+                dd = parser.dt_fields(dts[i])
             out[i] = (
                 dd["epoch"], dd["datetime_utc"], dd["datetime_local"],
                 dd["datetime_str"], dd["tz"], dd["date"], dd["time"],
                 _epoch_us(dd["epoch"]),
             )
+
+
+def _iso_dt_tuples(parser, comps, yrs):
+    """Vectorized datetime derivation for ISO rows from the master
+    regex's component groups (`comps` = parallel lists y/mo/d/h/mi/s/
+    frac/off/rest as captured — no second regex pass; offset given or
+    UTC; 0/3/6-digit fractions whose 3/6/9 shortest-exact rendering is
+    the identity).  Rows outside that envelope (trailing junk in
+    `rest`, invalid components, '000'-ended fractions) fall back to
+    the per-row memoized path, so output is identical either way.
+
+    Epoch seconds come from branchless civil-date arithmetic on
+    integer arrays and np.datetime_as_string emits the
+    YYYY-MM-DDTHH:MM:SS prefix in C; everything else is plain-list
+    assembly (faster than np.char fixed-width string ops)."""
+    import numpy as np
+
+    y_l, mo_l, d_l, h_l, mi_l, s_l, fr_l, off_l, rest_l, dts = comps
+    n = len(dts)
+    out = [None] * n
+    # fractions ending 000 re-render shorter ('.000' -> '', '.123000'
+    # -> '.123'): not identity, so those rows take the per-row path
+    ok = [
+        r == "" and not (f == f and f.endswith("000"))
+        for r, f in zip(rest_l, fr_l)
+    ]
+    if any(ok):
+        idx = [i for i, o in enumerate(ok) if o]
+        y = np.array([int(y_l[i]) for i in idx], dtype="int64")
+        mo = np.array([int(mo_l[i]) for i in idx], dtype="int64")
+        d = np.array([int(d_l[i]) for i in idx], dtype="int64")
+        h = np.array([int(h_l[i]) for i in idx], dtype="int64")
+        mi = np.array([int(mi_l[i]) for i in idx], dtype="int64")
+        s = np.array([int(s_l[i]) for i in idx], dtype="int64")
+        valid = (
+            (y >= 1) & (mo >= 1) & (mo <= 12) & (d >= 1)
+            & (h <= 23) & (mi <= 59) & (s <= 59)
+        )
+        valid &= d <= _days_in_month_vec(y, mo)
+        offm = [
+            0 if (o != o or o == "Z")
+            else (-1 if o[0] == "-" else 1)
+            * (int(o[1:3]) * 60 + int(o.replace(":", "")[3:5]))
+            for o in (off_l[i] for i in idx)
+        ]
+        offv = np.array(offm, dtype="int64")
+        sec = _days_from_civil_vec(y, mo, d) * 86400 + h * 3600 + mi * 60 + s - offv * 60
+        basel = np.datetime_as_string(sec.astype("datetime64[s]"), unit="s").tolist()
+        secl = sec.tolist()
+        validl = valid.tolist()
+        for j, i in enumerate(idx):
+            if not validl[j]:
+                continue
+            f = fr_l[i]
+            fd = "." + f if f == f else ""
+            b = basel[j]
+            utc = b + fd + "Z"
+            sv = secl[j]
+            us = sv * 1_000_000 + (int(str(f).ljust(6, "0")) if f == f else 0)
+            if offm[j] == 0:
+                out[i] = (
+                    str(sv) + fd, utc, utc, utc, "Z", b[:10], b[11:] + fd, us,
+                )
+            else:
+                # non-zero offsets: wall components are the input's own
+                # fields; tz is the normalized +hhmm form
+                o = off_l[i]
+                offn = o[0] + o.replace(":", "")[1:5]
+                date_part = f"{y_l[i]}-{mo_l[i]}-{d_l[i]}"
+                time_part = f"{h_l[i]}:{mi_l[i]}:{s_l[i]}{fd}"
+                out[i] = (
+                    str(sv) + fd, utc, utc,
+                    date_part + "T" + time_part + offn, offn,
+                    date_part, time_part, us,
+                )
+    _dt_fallback(parser, dts, yrs, out)
     return out
 
 
@@ -349,45 +425,70 @@ def _fast_cols(parser, raw_list, ext: pd.DataFrame, options,
     n = len(ext)
     cols: dict[str, list] = {f: [None] * n for f in field_names}
     dt_list = ext["dt"].tolist()
+    yr_list = ext["yr"].tolist()
     bsd_mask = [s[0].isalpha() for s in dt_list]
-    vec_ok = (
-        parser.local_offset_min == 0
-        and parser._tm_render is None
-        and not all(bsd_mask)
-    )
+    vec_ok = parser.local_offset_min == 0 and parser._tm_render is None
     if vec_ok:
-        # BSD strings repeat heavily -> memo; ISO strings are near-unique
-        # (micros) -> vectorized derivation
+        # both cohorts derive vectorized (numpy civil-date arithmetic)
+        # straight from the master regex's component groups: ISO
+        # strings are near-unique (micros), and BSD strings at second
+        # granularity defeat the memo on wide-time-range corpora
         tups: list = [None] * n
+
+        def _sel(names, pos):
+            collists = [ext[c].tolist() for c in names]
+            return [[cl[i] for i in pos] for cl in collists]
+
         iso_pos = [i for i, b in enumerate(bsd_mask) if not b]
-        iso_tups = _iso_dt_tuples(parser, [dt_list[i] for i in iso_pos])
-        for j, i in enumerate(iso_pos):
-            tups[i] = iso_tups[j]
-        for i, b in enumerate(bsd_mask):
-            if b:
-                d = parser.dt_fields(dt_list[i])
-                tups[i] = (
-                    d["epoch"], d["datetime_utc"], d["datetime_local"],
-                    d["datetime_str"], d["tz"], d["date"], d["time"],
-                    _epoch_us(d["epoch"]),
-                )
+        if iso_pos:
+            comps = _sel(
+                ["iy", "imo", "iday", "ih", "imi", "isec", "ifr", "ioff",
+                 "irest"], iso_pos)
+            comps.append([dt_list[i] for i in iso_pos])
+            iso_tups = _iso_dt_tuples(parser, comps,
+                                      [yr_list[i] for i in iso_pos])
+            for j, i in enumerate(iso_pos):
+                tups[i] = iso_tups[j]
+        bsd_pos = [i for i, b in enumerate(bsd_mask) if b]
+        if bsd_pos:
+            comps = _sel(["bmon", "bday", "bh", "bmi", "bs", "bfr"], bsd_pos)
+            comps.append([dt_list[i] for i in bsd_pos])
+            bsd_tups = _bsd_dt_tuples(parser, comps,
+                                      [yr_list[i] for i in bsd_pos])
+            for j, i in enumerate(bsd_pos):
+                tups[i] = bsd_tups[j]
     else:
         # one datetime resolution per unique raw timestamp (parser memo)
+        from .parser_core import RE_DATE_BSD
+
         table: dict = {}
-        for s in dt_list:
-            if s not in table:
-                d = parser.dt_fields(s)
-                table[s] = (
+        tups = []
+        for s, yr in zip(dt_list, yr_list):
+            key = s if yr != yr else f"{s} {yr}"
+            t = table.get(key)
+            if t is None:
+                if yr != yr:
+                    d = parser.dt_fields(s)
+                else:
+                    src = f"{yr} {s}"
+                    m = RE_DATE_BSD.match(src)
+                    groups = m.groups() if m and m.end() == len(src) else None
+                    d = parser.dt_fields(key, groups)
+                t = table[key] = (
                     d["epoch"], d["datetime_utc"], d["datetime_local"],
                     d["datetime_str"], d["tz"], d["date"], d["time"],
                     _epoch_us(d["epoch"]),
                 )
-        tups = [table[s] for s in dt_list]
+            tups.append(t)
     (cols["epoch"], cols["datetime_utc"], cols["datetime_local"],
      cols["datetime_str"], cols["tz"], cols["date"], cols["time"],
      cols["epoch_us"]) = (list(t) for t in zip(*tups))
     cols["message_raw"] = raw_list
-    cols["datetime_raw"] = dt_list
+    # the state machine renders year-prefixed datetime_raw as
+    # "Mmm d HH:MM:SS yyyy" (parser_core parse: g[1] + ' ' + g[0])
+    cols["datetime_raw"] = [
+        s if yr != yr else f"{s} {yr}" for s, yr in zip(dt_list, yr_list)
+    ]
     # PRI preamble (⇔ Line.pm:719-731): arithmetic + name lookup,
     # resolved once per distinct preamble value
     from .tables import FACILITY_NAMES, FACILITY_MASK, PRIORITY_MASK, PRIORITY_NAMES
@@ -410,6 +511,9 @@ def _fast_cols(parser, raw_list, ext: pd.DataFrame, options,
     hosts = ext["host"].tolist()
     host_out, dom_out = cols["host"], cols["domain"]
     for i, h in enumerate(hosts):
+        if h != h:  # no-host (path-program) form: host fields stay None
+            hosts[i] = None
+            continue
         if h[0].isdigit():
             host_out[i] = h
         else:
@@ -426,6 +530,36 @@ def _fast_cols(parser, raw_list, ext: pd.DataFrame, options,
     content = ext["content"].tolist()
     cols["content"] = content
     cols["message"] = [f"{p}: {c}" for p, c in zip(praw, content)]
+    # JSON-tail / K-V detection: these stages only ADD SDATA (content
+    # is untouched without '[', which the fast cohort excludes), so
+    # they run here through the SAME stage bodies as the state machine
+    # (parser_core.json_tail_sdata / kv_sdata) — C-speed regex/json
+    # over the cohort instead of the full per-row state machine
+    if options.auto_detect_json or options.auto_detect_key_values:
+        from .parser_core import _merge, json_tail_sdata, kv_sdata
+
+        want_json = options.auto_detect_json
+        want_kv = options.auto_detect_key_values
+        sd_out = cols["sdata"]
+        sdj_out = cols["sdata_json"]
+        jerr_out = cols["_json_error"]
+        dumps = json.dumps
+        for i, c in enumerate(content):
+            sdata = None
+            if want_json and "{" in c:
+                js, jerr = json_tail_sdata(c)
+                if js is not None:
+                    sdata = js
+                elif jerr is not None:
+                    jerr_out[i] = jerr
+            if want_kv and "=" in c:
+                kv = kv_sdata(c)
+                if kv:
+                    sdata = _merge(kv, sdata) if sdata else kv
+            if sdata is not None:
+                sd_out[i] = _flatten_sdata(sdata)
+                sdj_out[i] = dumps(canon(sdata), sort_keys=True,
+                                   ensure_ascii=False, separators=(",", ":"))
     # prunes (⇔ Line.pm:999-1009)
     if options.prune_empty:
         cols["content"] = [c if c != "" else None for c in content]
@@ -476,11 +610,20 @@ def _slow_cols(parser, raw_list, field_names, plain_fields,
     return cols
 
 
+def _typed_frame(cols, index, field_names) -> pd.DataFrame:
+    """Columns dict -> DataFrame without float coercion: pandas turns
+    an int+None list into float64, which ROUNDS epoch_us above 2^53
+    (post-2255 timestamps) — keep it object so Arrow gets exact ints."""
+    data = dict(cols)
+    data["epoch_us"] = pd.Series(cols["epoch_us"], index=index, dtype=object)
+    return pd.DataFrame(data, index=index, columns=field_names)
+
+
 def _slow_frame(parser, raw: pd.Series, field_names, plain_fields,
                 emit_parsed_json) -> pd.DataFrame:
     cols = _slow_cols(parser, raw.tolist(), field_names, plain_fields,
                       emit_parsed_json)
-    return pd.DataFrame(cols, index=raw.index, columns=field_names)
+    return _typed_frame(cols, raw.index, field_names)
 
 
 def _parse_batch(parser, raw: pd.Series, options, field_names, plain_fields,
@@ -502,7 +645,7 @@ def _parse_batch(parser, raw: pd.Series, options, field_names, plain_fields,
     raw_arr = np.asarray(raw.tolist(), dtype=object)
     if frac == 1.0:
         cols = _fast_cols(parser, list(raw_arr), ext, options, field_names)
-        return pd.DataFrame(cols, index=raw.index, columns=field_names)
+        return _typed_frame(cols, raw.index, field_names)
     pos_fast = np.flatnonzero(mask)
     pos_slow = np.flatnonzero(~mask)
     fast = _fast_cols(parser, list(raw_arr[pos_fast]), ext[mask], options,

@@ -227,6 +227,42 @@ def _merge(left, right):
     return out
 
 
+def json_tail_sdata(content: str):
+    """JSON-tail detection stage body (⇔ Line.pm:958-972): returns
+    (decoded-dict | None, error-string | None).  Shared by the state
+    machine and the vectorized fast path (parser._fast_cols) so the
+    two cohorts cannot drift."""
+    pos = content.find("{")
+    if pos < 0:
+        return None, None
+    try:
+        return json.loads(content[pos:]), None
+    except Exception as e:  # ⇔ eval-or-error (:968-971)
+        return None, f"Failed to decode json: {e}"
+
+
+def kv_sdata(content: str):
+    """Splunk-style K/V detection stage body (⇔ Line.pm:973-997):
+    returns the extracted dict or None.  Shared by the state machine
+    and the vectorized fast path; value trail/lead trims and the
+    array auto-promote quirk live only here."""
+    if "=" not in content or not RE_KV_PRECHECK.search(content):
+        return None
+    sdata: dict = {}
+    for m in RE_KVDATA.finditer(content):
+        k, v = m.group(1), m.group(2)
+        v = RE_KV_TRAIL.sub("", v)
+        v = RE_KV_LEAD.sub("", v)
+        if k in sdata:
+            if isinstance(sdata[k], list):
+                sdata[k].append(v)
+            else:
+                sdata[k] = [sdata[k], v]  # array auto-promote (:981-992)
+        else:
+            sdata[k] = v
+    return sdata or None
+
+
 def _frac_str(ns: int) -> str:
     """Fraction rendering of Time::Moment's %f: empty when zero, else
     a dot plus 3/6/9 digits (smallest group that is exact)."""
@@ -758,34 +794,17 @@ class SyslogParser:
                 content = RE_LSTRIP.sub("", content)
             msg["content"] = content
 
-        # JSON tail (:958-972)
+        # JSON tail (:958-972) — stage body shared with the fast path
         if opts.auto_detect_json:
-            pos = msg["content"].find("{")
-            if pos >= 0:
-                try:
-                    js = json.loads(msg["content"][pos:])
-                    msg["SDATA"] = _merge(js, msg["SDATA"]) if msg.get("SDATA") else js
-                except Exception as e:  # ⇔ eval-or-error (:968-971)
-                    msg["_json_error"] = f"Failed to decode json: {e}"
+            js, jerr = json_tail_sdata(msg["content"])
+            if js is not None:
+                msg["SDATA"] = _merge(js, msg["SDATA"]) if msg.get("SDATA") else js
+            elif jerr is not None:
+                msg["_json_error"] = jerr
 
-        # Splunk-style K/V (:973-997)
-        if (
-            opts.auto_detect_key_values
-            and "=" in msg["content"]
-            and RE_KV_PRECHECK.search(msg["content"])
-        ):
-            sdata: dict = {}
-            for m in RE_KVDATA.finditer(msg["content"]):
-                k, v = m.group(1), m.group(2)
-                v = RE_KV_TRAIL.sub("", v)
-                v = RE_KV_LEAD.sub("", v)
-                if k in sdata:
-                    if isinstance(sdata[k], list):
-                        sdata[k].append(v)
-                    else:
-                        sdata[k] = [sdata[k], v]  # array auto-promote (:981-992)
-                else:
-                    sdata[k] = v
+        # Splunk-style K/V (:973-997) — stage body shared with the fast path
+        if opts.auto_detect_key_values:
+            sdata = kv_sdata(msg["content"])
             if sdata:
                 msg["SDATA"] = _merge(sdata, msg["SDATA"]) if msg.get("SDATA") else sdata
 

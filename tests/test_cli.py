@@ -38,6 +38,18 @@ def test_stdin_flags():
     assert None not in msg.values()
 
 
+def test_stdin_ddp_format():
+    """`--format ddp` (alias print): Data::Printer-style hash dump —
+    the reference CLI's default output (parse-syslog-line.pl:33)."""
+    r = run_cli(["--format", "ddp", "--kv-detect"],
+                "May 19 22:03:29 janus sshd[1]: ok user=bob\n")
+    out = r.stdout
+    assert out.startswith("{\n") and out.rstrip().endswith("}")
+    assert 'program_name     "sshd"' in out or '"sshd"' in out
+    assert "undef" in out  # None renders Perl-style
+    assert 'user   "bob"' in out
+
+
 def test_stdin_no_program():
     r = run_cli(["--no-program"], "May 19 22:03:29 janus sshd[1]: hello\n")
     msg = json.loads(r.stdout.strip())

@@ -73,7 +73,7 @@ _HOSTS = st.sampled_from(
 )
 _PROGS = st.sampled_from(
     ["app", "sshd", "info", "/usr/bin/x", "a/b", "%SYS-5-X", "my.script",
-     "app extra", "9app"]
+     "app extra", "9app", "/usr/sbin/cron", "rsyslogd-2007"]
 )
 _TAILS = st.sampled_from(
     ["", "[1234]", "[abc]", "(sub)", "[]", "[1]x", "[1:2]", "[a(b)c]"]
@@ -90,18 +90,22 @@ def _syslog_like(draw):
     mon = draw(_MON)
     day = draw(st.integers(min_value=0, max_value=99))
     hms = draw(st.sampled_from(["12:00:00", "1:2:3", "23:59:59.123",
+                                "23:59:59.123456", "10:00:00.1234",
+                                "10:00:00.120000", "02:29:00",
                                 "2018-06-01T12:34:56Z",
                                 "2018-06-01 12:34:56.000+02:00"]))
     if hms.startswith("20"):
         dt = hms
     else:
-        dt = f"{mon} {day:>2} {hms}"
-    host = draw(_HOSTS)
+        yr = draw(st.sampled_from(["", "2018 ", "0000 ", "9999 ", "2016 "]))
+        dt = f"{yr}{mon} {day:>2} {hms}"
+    host = draw(st.one_of(_HOSTS, st.just("")))  # "" = no-host cron form
     prog = draw(_PROGS)
     tail = draw(_TAILS)
     sep = draw(st.sampled_from([": ", ":", ":  ", " - ", " "]))
     content = draw(_CONTENT)
-    return f"{pri}{dt} {host} {prog}{tail}{sep}{content}"
+    hostsep = " " if host else ""
+    return f"{pri}{dt} {host}{hostsep}{prog}{tail}{sep}{content}"
 
 
 @given(st.lists(st.one_of(_syslog_like(), st.text(max_size=120)),
