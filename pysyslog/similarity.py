@@ -43,9 +43,19 @@ def brute_force_topk(
     """Exact cosine top-k of corpus rows per query row.
 
     queries: (query_id, embedding).  Plan: broadcast queries → cross
-    join (corpus streams once) → JVM cosine → per-query top-k window.
-    Ties broken by id for determinism.
+    join (corpus streams once) → JVM cosine → TWO-STAGE top-k: a
+    single per-query window would funnel every scored corpus row
+    through one reducer per query (the round-2 verdict's scale flag),
+    so stage 1 ranks within (query, salt-of-corpus-id) buckets —
+    spreading each query over `n_salts` reducers and keeping only
+    n_salts × k candidates — and stage 2 ranks those survivors.  The
+    result is identical to the single-window form (top-k is a
+    distributive order statistic; salting by corpus id keeps every
+    (query, corpus-row) score exactly once).  Ties broken by id for
+    determinism — in BOTH stages, so a tie straddling salt buckets
+    survives to stage 2 in the same order the single window would use.
     """
+    n_salts = 32
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qv")
     )
@@ -54,11 +64,21 @@ def brute_force_topk(
         F.col(id_col),
         cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    w1 = Window.partitionBy(query_id_col, "__salt").orderBy(
+        F.desc("cos_sim"), F.col(id_col)
+    )
+    survivors = (
+        scored.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1", "__salt")
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.col(id_col)
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
 
