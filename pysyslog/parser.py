@@ -154,12 +154,13 @@ _FAST_MIN_FRAC = 0.15
 
 def _fast_regex(options: ParserOptions):
     """Anchored clean-BSD matcher for the active options, or None when
-    the option set can't take the fast path at all."""
-    if (
-        not options.date_parsing
-        or not options.extract_program
-        or options.fmt_date is not None
-    ):
+    the option set can't take the fast path at all.  Two variants share
+    the preamble/datetime/host prefix: the default one splits program
+    from content; the extract_program=False one captures the whole
+    rest-of-line as content (the state machine skips its program stage
+    then, so "no program" must be the CHEAPER preset, as it is in the
+    reference's benchmark matrix — not a fast-path opt-out)."""
+    if not options.date_parsing or options.fmt_date is not None:
         return None
     # content may not contain anything a later stage would REWRITE:
     # '[' guards both SDATA forms (they splice content).  The JSON and
@@ -187,7 +188,7 @@ def _fast_regex(options: ParserOptions):
     # the datetime COMPONENTS are captured here too (bmon/bday/... for
     # BSD, iy/imo/... for ISO) so the vectorized derivation works from
     # this one regex pass instead of re-extracting per cohort
-    return _re.compile(
+    prefix = (
         r"^(?:<(?P<pre>\d{1,3})>)?"
         r"(?:(?P<yr>\d{4})\s(?=[A-Z]))?"
         # fraction: exactly .mmm or .uuuuuu (RE_DATE_BSD's envelope) —
@@ -201,7 +202,28 @@ def _fast_regex(options: ParserOptions):
         r"(?:\.(?P<ifr>\d{3}|\d{6}(?!\d))(?!\d))?"
         r"(?P<ioff>Z|[+-]\d{2}:?\d{2})?(?P<irest>\S*))"
         r"\s(?:(?P<host>\d{1,3}(?:\.\d{1,3}){3}"
-        r"|[A-Za-z][A-Za-z0-9_-]*(?:\.[A-Za-z][A-Za-z0-9_-]*)*)\s|(?=/))"
+        r"|[A-Za-z][A-Za-z0-9_-]*(?:\.[A-Za-z][A-Za-z0-9_-]*)*)\s|"
+    )
+    if not options.extract_program:
+        # the state machine skips its program stage: content is the
+        # whole rest-of-line (message == content, program_* None).
+        # Cohort guards: first char letter or '/' keeps the relay
+        # (digit/ws) and Cisco (ws/digit/':') stages no-ops and makes
+        # strict SDATA's ^\[ anchor unreachable; '[' is allowed only
+        # attached to a non-space char — RE_SDATA_LOOSE needs (^|\s)\[
+        # — so "prog[pid]:" stays in-cohort while " [x=y]" falls to the
+        # state machine.  The no-host branch requires ':' inside the
+        # first token: RE_HOST (`([^:\s]+)\s+`) treats ANY colon-free
+        # space-followed token as the host — even "/usr/bin/x" — and
+        # only fails (⇒ no host) when the token carries a colon.
+        # Possessive quantifiers: the tokenization is deterministic, so
+        # a failing line exits without backtracking.
+        return _re.compile(
+            prefix + r"(?=/[^\s:]*:))"
+            r"(?P<content>[A-Za-z/](?:\S++|[ \t]++(?!\[))*+)$"
+        )
+    return _re.compile(
+        prefix + r"(?=/))"
         r"(?P<praw>(?P<prog>/[A-Za-z0-9._/-]+|[A-Za-z][A-Za-z0-9._-]+)"
         r"(?:\[(?P<pid>[^\]:()]+)\])?)"
         r":\s+(?P<content>[^" + excl + r"]*)$"
@@ -522,14 +544,20 @@ def _fast_cols(parser, raw_list, ext: pd.DataFrame, options,
             if sep:
                 dom_out[i] = b
     cols["host_raw"] = hosts
-    praw = ext["praw"].tolist()
-    cols["program_raw"] = praw
-    cols["program_name"] = ext["prog"].tolist()
-    cols["program_pid"] = [p if isinstance(p, str) else None
-                           for p in ext["pid"].tolist()]
     content = ext["content"].tolist()
     cols["content"] = content
-    cols["message"] = [f"{p}: {c}" for p, c in zip(praw, content)]
+    if "praw" in ext.columns:
+        praw = ext["praw"].tolist()
+        cols["program_raw"] = praw
+        cols["program_name"] = ext["prog"].tolist()
+        cols["program_pid"] = [p if isinstance(p, str) else None
+                               for p in ext["pid"].tolist()]
+        cols["message"] = [f"{p}: {c}" for p, c in zip(praw, content)]
+    else:
+        # extract_program=False: message == content, program_* None
+        # (⇔ the state machine skipping its program stage); content is
+        # non-empty by the cohort regex, so prune_empty can't apply
+        cols["message"] = list(content)
     # JSON-tail / K-V detection: these stages only ADD SDATA (content
     # is untouched without '[', which the fast cohort excludes), so
     # they run here through the SAME stage bodies as the state machine
@@ -636,7 +664,13 @@ def _parse_batch(parser, raw: pd.Series, options, field_names, plain_fields,
         return _slow_frame(parser, raw, field_names, plain_fields,
                            emit_parsed_json)
     ext = raw.str.extract(fast_re)
-    mask = (ext["prog"].notna() & ~ext["prog"].isin(_PRIO_WORDS)).to_numpy()
+    if "prog" in fast_re.groupindex:
+        mask = (ext["prog"].notna() & ~ext["prog"].isin(_PRIO_WORDS)).to_numpy()
+    else:
+        # no-program variant: nothing downstream rewrites the matched
+        # rest-of-line, so a match alone is cohort membership (the
+        # severity-word filter only exists for the program-name split)
+        mask = ext["content"].notna().to_numpy()
     frac = mask.mean()
     if not mask.any() or frac < _FAST_MIN_FRAC:
         # cohort too thin to amortize the vectorized assembly

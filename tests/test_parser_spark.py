@@ -134,6 +134,15 @@ def test_fast_path_equals_slow_on_mixed_corpus():
         "Jun  1 12:00:00 web1.srv42.example app: deep domain",
         "Jun  1 12:00:00 10.1.2.3 app: ip host",
         "Jun  1 12:00:00 box1.2.3.4 app: ip-in-host",
+        # no-program-variant cohort edges: ws-preceded brackets (loose
+        # SDATA territory), digit-led rest (relay territory), colon-led
+        # rest (Cisco territory), trailing whitespace, bare words
+        "Jun  1 12:00:00 host1 app[7]: tail [k=v] sdata-ish",
+        "Jun  1 12:00:00 host1 words with [plain] brackets",
+        "Jun  1 12:00:00 host1 2 errors found",
+        "Jun  1 12:00:00 host1 : colon-led rest",
+        "Jun  1 12:00:00 host1 trailing space ",
+        "Jun  1 12:00:00 host1 app[1:2]: colon pid",
         None,
     ]
     plain = [
@@ -148,6 +157,9 @@ def test_fast_path_equals_slow_on_mixed_corpus():
         ParserOptions(now_epoch=GEN_NOW_EPOCH, prune_raw=True,
                       prune_empty=True, prune_fields=("tz",)),
         ParserOptions(now_epoch=GEN_NOW_EPOCH, epoch_create=False),
+        ParserOptions(now_epoch=GEN_NOW_EPOCH, extract_program=False),
+        ParserOptions(now_epoch=GEN_NOW_EPOCH, extract_program=False,
+                      auto_detect_json=True, auto_detect_key_values=True),
     ]
     raw = pd.Series(lines, dtype=object)
     for opts in option_sets:
@@ -174,3 +186,8 @@ def test_fast_path_equals_slow_on_mixed_corpus():
     # detection-enabled sets legitimately exclude '='/'{' content)
     mask = raw.str.extract(_fast_regex(option_sets[0]))["prog"].notna()
     assert mask.mean() > 0.3, mask.mean()
+    # ... and the no-program variant must engage at least as widely
+    # (its cohort is a superset shape: it has no praw/colon requirement)
+    np_mask = raw.str.extract(
+        _fast_regex(option_sets[4]))["content"].notna()
+    assert np_mask.mean() >= mask.mean(), (np_mask.mean(), mask.mean())

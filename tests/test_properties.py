@@ -132,17 +132,14 @@ def test_fast_path_equivalence_property(lines):
         if f not in _INT_FIELDS
         and f not in ("epoch_us", "sdata", "sdata_json", "parsed_json")
     ]
-    opts = ParserOptions(now_epoch=1543622400.0, auto_detect_json=True,
-                         auto_detect_key_values=True)
+    option_sets = [
+        ParserOptions(now_epoch=1543622400.0, auto_detect_json=True,
+                      auto_detect_key_values=True),
+        # the no-program fast-regex variant has its own cohort guards
+        ParserOptions(now_epoch=1543622400.0, extract_program=False,
+                      auto_detect_json=True, auto_detect_key_values=True),
+    ]
     raw = pd.Series(lines, dtype=object)
-    orig = parser_mod._FAST_MIN_FRAC
-    parser_mod._FAST_MIN_FRAC = 0.0  # always engage the fast path
-    try:
-        got = _parse_batch(SP(opts), raw, opts, FIELD_NAMES, plain,
-                           False, _fast_regex(opts))
-    finally:
-        parser_mod._FAST_MIN_FRAC = orig
-    want = _slow_frame(SP(opts), raw, FIELD_NAMES, plain, False)
 
     def _n(v):
         if v is None or (isinstance(v, float) and v != v):
@@ -151,8 +148,19 @@ def test_fast_path_equivalence_property(lines):
             return int(v)
         return v
 
-    for f in FIELD_NAMES:
-        g = [_n(v) for v in got[f].tolist()]
-        w = [_n(v) for v in want[f].tolist()]
-        assert g == w, (f, [(i, a, b) for i, (a, b)
-                            in enumerate(zip(g, w)) if a != b][:3])
+    for opts in option_sets:
+        orig = parser_mod._FAST_MIN_FRAC
+        parser_mod._FAST_MIN_FRAC = 0.0  # always engage the fast path
+        try:
+            got = _parse_batch(SP(opts), raw, opts, FIELD_NAMES, plain,
+                               False, _fast_regex(opts))
+        finally:
+            parser_mod._FAST_MIN_FRAC = orig
+        want = _slow_frame(SP(opts), raw, FIELD_NAMES, plain, False)
+
+        for f in FIELD_NAMES:
+            g = [_n(v) for v in got[f].tolist()]
+            w = [_n(v) for v in want[f].tolist()]
+            assert g == w, (opts.extract_program, f,
+                            [(i, a, b) for i, (a, b)
+                             in enumerate(zip(g, w)) if a != b][:3])
