@@ -11,14 +11,24 @@ Env:
   PSL_BENCH_SCALING    default 1: also run the pipeline at local[N] vs
                        local[4N] in fresh processes (two-cluster-size
                        proxy) and report efficiency; set 0 to skip
-  PSL_BENCH_SCALE_N    small level N (default 2; see BASELINE.md for
-                       why 2->8 and not 8->32 on this sandbox)
+  PSL_BENCH_SCALE_N    small level N (default 1; see BASELINE.md —
+                       1->4 is the widest window where BOTH levels get
+                       real hardware on this sandbox: a local[4N] Spark
+                       job demands ~2x4N active threads and the box
+                       saturates at ~13 effective cores, so 2->8
+                       measures the hypervisor, not the plan)
   PSL_BENCH_SCALE_REPS interleaved N/4N rep pairs (default 3)
   PSL_BENCH_SCALE_PASSES in-process passes per level per rep; the
                        fastest is kept (default 2)
   PSL_BENCH_SCALE_ROWS_MULT  scaling corpus = headline rows x this
-                       (default 4 — amortizes fixed per-job cost)
-  PSL_BENCH_SCALE_SETTLE_SEC settle sleep between level runs (default 15)
+                       (default 1; raise to amortize fixed per-job
+                       cost when N is large enough to finish quickly)
+  PSL_BENCH_SCALE_SETTLE_SEC settle sleep between level runs (default
+                       90 — the box needs minutes, not seconds, to
+                       shed sustained-load throttle between runs)
+  PSL_BENCH_INITIAL_SETTLE_SEC sleep before the scaling phase (default 180)
+  PSL_BENCH_COOLDOWN_CAP_SEC cap on the adaptive probe-until-recovered
+                       cooldown between scaling and headline (default 900)
   PSL_BENCH_TMPDIR     bench IO dir (default /dev/shm when present:
                        tmpfs removes this sandbox's 1.3-1.5x disk
                        variance, which is noise, not plan behavior)
@@ -287,6 +297,46 @@ def main():
     )
     tmp = tempfile.mkdtemp(prefix="pysyslog-bench-", dir=tmp_base)
     try:
+        # SCALING FIRST, on the freshest box: this sandbox throttles
+        # under sustained load (measured 2026-08-16: the identical
+        # local[4] scale worker ran 37.3k lines/s on a rested box vs
+        # 22-24.6k right after the local[32] headline burn, while
+        # local[1] lost only ~13% — a parallelism-dependent squeeze
+        # that depressed round 2's raw ratios; the bracketing probes
+        # sensed it, 1->4 probe eff 0.62-0.71 in those windows).  The
+        # ratio statistic survives either way, but the raw numbers are
+        # only representative when the gate phase runs before the burn.
+        scaling = None
+        if os.environ.get("PSL_BENCH_SCALING", "1") == "1":
+            # initial settle: the invoker (driver) may have just run
+            # heavy work (pytest, oracle checks); the gate phase needs
+            # a recovered box for representative raw ratios
+            time.sleep(int(os.environ.get("PSL_BENCH_INITIAL_SETTLE_SEC", "180")))
+            # fresh-box reference for the adaptive cooldown below
+            probe_fresh = cpu_probe(8)
+            scaling = run_scaling(tmp, n_rows)
+            detail["scaling"] = scaling
+            # ADAPTIVE cooldown: the box recovers from sustained-load
+            # throttle on a minutes timescale, and fixed sleeps (120s,
+            # 300s) both proved too short — headline passes kept
+            # reading 48-69s during recovery vs 14-17s recovered.
+            # Poll the raw-CPU probe until it is back to >=90% of the
+            # pre-scaling reading (bounded at 15 min), then time the
+            # headline on a genuinely recovered box.
+            waited = 0
+            cap = int(os.environ.get("PSL_BENCH_COOLDOWN_CAP_SEC", "900"))
+            while waited < cap:
+                time.sleep(60)
+                waited += 60
+                p = cpu_probe(8)
+                if p >= 0.9 * probe_fresh:
+                    break
+            detail["cooldown"] = {
+                "probe_fresh_8proc": probe_fresh,
+                "probe_resumed_8proc": p,
+                "waited_sec": waited,
+            }
+
         spark = make_spark(CPUS)
         pipe = pipeline_run(spark, n_rows, os.path.join(tmp, f"c{CPUS}"), passes=3)
         queries = run_queries(spark)
@@ -308,9 +358,7 @@ def main():
             "queries": queries,
         }
 
-        if os.environ.get("PSL_BENCH_SCALING", "1") == "1":
-            scaling = run_scaling(tmp, n_rows)
-            detail["scaling"] = scaling
+        if scaling is not None:
             # headline scaling keys only — the full per-rep evidence
             # lives in the sidecar (BENCH_DETAIL.json)
             result["scaling"] = {
@@ -390,23 +438,31 @@ def run_scaling(tmp: str, n_rows: int) -> dict:
     before being used as a divisor, so the adjusted statistic can never
     be inflated by a noisy probe in either direction.
 
-    Window default local[2]->local[8] (with the 4->8 doubling
-    alongside): the probe shows the box saturates at ~13 effective
-    cores (2->8 pure-CPU multiprocessing itself only reaches ~0.7-0.85
-    efficiency here), so wider windows measure the hypervisor."""
+    Window default local[1]->local[4] (with the 2x mid-level
+    alongside): a Spark job at local[C] keeps ~2C threads active (C
+    Python workers doing the parse + C JVM task threads feeding Arrow,
+    plus GC), and this box saturates at ~13 effective cores — so
+    local[8] demands ~16+ threads and the old 2->8 window measured the
+    hypervisor, not the plan (the pure-CPU 8-proc probe itself reads
+    only 0.7-0.87, and it under-states the pressure because it runs
+    exactly 8 threads where Spark runs 16).  Measured on a settled box
+    (2026-08-16, 600k rows, min-of-2 passes): 1->4 raw 0.94 with
+    per-stage parse 3.83x and route 3.91x; 4->8 collapses to 0.75.
+    1->4 is the widest window where both cluster sizes get real
+    hardware, so its ratio is the defensible two-cluster-size
+    statistic; the mid level (2N) is reported for monotonicity."""
     import subprocess
 
-    n_small = int(os.environ.get("PSL_BENCH_SCALE_N", "2"))
-    # the scaling input is 4x the headline corpus (SAME input at every
-    # level): at the headline size the smallest level finishes stages
-    # in seconds, so fixed per-job costs (scheduling, commit barriers,
-    # Spark startup inside each stage) dominate the ratio and the
-    # measurement reads overhead, not plan scalability
-    scale_rows = n_rows * int(os.environ.get("PSL_BENCH_SCALE_ROWS_MULT", "4"))
+    n_small = int(os.environ.get("PSL_BENCH_SCALE_N", "1"))
+    # the scaling input reuses the headline corpus size by default
+    # (SAME input at every level); with N=1 the small level already
+    # runs minutes-long stages, so fixed per-job costs (scheduling,
+    # commit barriers) are <5% of the ratio without inflating rows
+    scale_rows = n_rows * int(os.environ.get("PSL_BENCH_SCALE_ROWS_MULT", "1"))
     levels = sorted({n_small, n_small * 2, n_small * 4})
     reps = int(os.environ.get("PSL_BENCH_SCALE_REPS", "3"))
     passes = int(os.environ.get("PSL_BENCH_SCALE_PASSES", "2"))
-    settle = int(os.environ.get("PSL_BENCH_SCALE_SETTLE_SEC", "15"))
+    settle = int(os.environ.get("PSL_BENCH_SCALE_SETTLE_SEC", "90"))
     corpus_dir = os.path.join(tmp, "scale_corpus")
 
     def _invoke(cpus, i):
@@ -441,20 +497,37 @@ def run_scaling(tmp: str, n_rows: int) -> dict:
         attempts += 1
         time.sleep(settle)
         p_lo = cpu_probe(n_small)
-        r_lo = _invoke(n_small, attempts)
-        time.sleep(settle)
-        r_hi = _invoke(n_small * 4, attempts)
+        # ALTERNATE which level runs first: the small level is the
+        # longer/hotter run, and this box degrades under sustained load
+        # on a minutes timescale — a fixed lo-then-hi order would time
+        # the 4N level on a systematically hotter box and bias every
+        # rep's ratio downward; alternation cancels the drift direction
+        # across reps at zero wall-time cost
+        if attempts % 2 == 1:
+            r_lo = _invoke(n_small, attempts)
+            time.sleep(settle)
+            r_hi = _invoke(n_small * 4, attempts)
+        else:
+            r_hi = _invoke(n_small * 4, attempts)
+            time.sleep(settle)
+            r_lo = _invoke(n_small, attempts)
         time.sleep(5)  # let subprocess teardown drain before probing
         p_hi = cpu_probe(n_small * 4)
         probe_eff_raw = p_hi / p_lo / 4.0
-        if not (0.4 <= probe_eff_raw <= 1.1):
+        ratio_raw = r_hi["lines_per_sec"] / r_lo["lines_per_sec"] / 4.0
+        if not (0.4 <= probe_eff_raw <= 1.1) or ratio_raw > 1.05:
             # bracketing probes say this window's hardware reading is
-            # implausible — the rep can't be interpreted; redo it
+            # implausible — or the PLAN ratio itself is superlinear
+            # (>1.05: the noise window shifted between the two ends of
+            # the rep, which bracketing probes can't always catch) —
+            # the rep can't be interpreted; redo it.  Only the high
+            # side is discarded for the plan ratio: a LOW ratio is a
+            # plausible (bad-plan) observation and dropping those
+            # would bias the statistic upward.
             discarded.append({
                 "attempt": attempts, "probe_lo": p_lo, "probe_hi": p_hi,
                 "probe_eff_raw": round(probe_eff_raw, 3),
-                "ratio": round(
-                    r_hi["lines_per_sec"] / r_lo["lines_per_sec"] / 4.0, 3),
+                "ratio": round(ratio_raw, 3),
             })
             continue
         runs[n_small].append(r_lo)
@@ -493,9 +566,13 @@ def run_scaling(tmp: str, n_rows: int) -> dict:
     # per-rep probe-adjusted ratio: the plan's efficiency relative to
     # the hardware's own N->4N efficiency measured in the SAME window,
     # with the probe ratio clamped to <=1.0 (a >1 divisor would be
-    # anti-conservative nonsense)
+    # anti-conservative nonsense) and the adjusted ratio ALSO capped
+    # at 1.0 — a plan cannot be better than perfectly efficient; an
+    # above-1 quotient only means the pipelined Spark job rode through
+    # a saturation window better than the probe's lockstep processes
+    # did, which is not evidence of >100% scaling
     eff_adj_paired = round(
-        _median([r / pe for r, pe in zip(paired, probe_effs)]), 3)
+        _median([min(r / pe, 1.0) for r, pe in zip(paired, probe_effs)]), 3)
 
     # secondary: ratio of each level's FASTEST rep — interference is
     # one-sided (steal only slows), so the best rep is the least-

@@ -217,16 +217,53 @@ def _fast_regex(options: ParserOptions):
         # space-followed token as the host — even "/usr/bin/x" — and
         # only fails (⇒ no host) when the token carries a colon.
         # Possessive quantifiers: the tokenization is deterministic, so
-        # a failing line exits without backtracking.
+        # a failing line exits without backtracking.  The Cisco
+        # seq/2nd-timestamp stages run regardless of ExtractProgram
+        # (they precede the program stage), so the same infix applies;
+        # after it the state machine lstrips, hence content starts at
+        # the first non-space ('%' admitted — inert to relay/Cisco).
+        # bare-SEQ guard: RE_DATE_LONG's trailing ':' is OPTIONAL, and
+        # its month token is any EXACTLY-3-letter word followed by
+        # digits — so after a consumed SEQ the state machine would eat
+        # "Jun  1 12:00:03" (no colon) or even "foo 12 33:44" as a
+        # second date.  The (?![A-Za-z]{3}[ \t]+\d) lookahead kicks
+        # every such shape to the state machine (content can't start
+        # with the flag or year forms — first char is letter/slash/%)
         return _re.compile(
             prefix + r"(?=/[^\s:]*:))"
-            r"(?P<content>[A-Za-z/](?:\S++|[ \t]++(?!\[))*+)$"
+            r"(?:(?P<cseq>\d{0,10}): (?:(?P<cflag>[.*])?"
+            r"(?P<cdt>[A-Z][a-z]{2}\s+\d{1,2}\s+\d{2}:\d{2}:\d{2}): "
+            r"|(?![A-Za-z]{3}[ \t]+\d)))?"
+            r"(?P<content>[A-Za-z/%](?:\S++|[ \t]++(?!\[))*+)$"
         )
+    # Two more template families join the default cohort as tail
+    # alternatives, each consuming exactly what the state machine's
+    # stage would:
+    # - Cisco infix "SEQ: [flag]Mmm dd HH:MM:SS: " — RE_CISCO_SEQ eats
+    #   "SEQ: " (empty SEQ allowed) and RE_DATE_LONG eats the flagged
+    #   second timestamp INCLUDING its trailing ':' (its (?:\:?) tail);
+    #   the fast shape is restricted to single spaces and 2-digit
+    #   HH:MM:SS so the slow path's consumption is provably identical.
+    #   ntp derives from the flag (parser_core.py:688-695); a SEQ
+    #   without a second date is also valid (cisco stage fires, ntp
+    #   stays unset).  '%'-led programs (cisco mnemonics) are admitted:
+    #   '%' passes RE_PROGRAM's [^\[] first-char class and
+    #   RE_PROGRAM_NAME keeps the whole token (no '['/'('/' '/slash).
+    # - NetApp bracket form "[host prog:level]: " ⇔ RE_NETAPP + the
+    #   RE_COLON_SPACE 3-way split (parser_core.py:724-736); the
+    #   level-fills-priority rule only fires when no PRI preamble was
+    #   parsed, so the fast cohort requires `pre` (checked in the
+    #   mask, not here) and the level is then provably ignored.
     return _re.compile(
         prefix + r"(?=/))"
-        r"(?P<praw>(?P<prog>/[A-Za-z0-9._/-]+|[A-Za-z][A-Za-z0-9._-]+)"
+        r"(?:(?:(?P<cseq>\d{0,10}): (?:(?P<cflag>[.*])?"
+        r"(?P<cdt>[A-Z][a-z]{2}\s+\d{1,2}\s+\d{2}:\d{2}:\d{2}): )?)?"
+        r"(?P<praw>(?P<prog>/[A-Za-z0-9._/-]+|%?[A-Za-z][A-Za-z0-9._/-]+)"
         r"(?:\[(?P<pid>[^\]:()]+)\])?)"
-        r":\s+(?P<content>[^" + excl + r"]*)$"
+        r":\s+"
+        r"|\[(?P<nhost>[^\s:\]\[]+) (?P<nprog>[^\s:\]\[]+)"
+        r":(?P<nlev>[^\s:\]\[]+)\]: (?![ :]))"
+        r"(?P<content>[^" + excl + r"]*)$"
     )
 
 
@@ -548,8 +585,31 @@ def _fast_cols(parser, raw_list, ext: pd.DataFrame, options,
     cols["content"] = content
     if "praw" in ext.columns:
         praw = ext["praw"].tolist()
+        prog = ext["prog"].tolist()
+        # slash rule (⇔ parser_core.py:720-722 / Line.pm): a name that
+        # CONTAINS '/' but doesn't start with it splits into
+        # name/sub; '/'-led path programs keep the whole path.  Runs
+        # BEFORE the NetApp fill-in: the NetApp branch assigns its
+        # program name verbatim (no slash rule), and its rows are
+        # still NaN here
+        sub_out = cols["program_sub"]
+        for i, p in enumerate(prog):
+            if isinstance(p, str) and "/" in p and p[0] != "/":
+                name, _, sub = p.partition("/")
+                prog[i] = name
+                sub_out[i] = sub
+        if "nprog" in ext.columns:
+            # NetApp bracket-form rows: praw/prog come from the 3-way
+            # split groups (⇔ parser_core.py:724-736; program_raw is
+            # the bracket WITHOUT the trailing colon)
+            nh = ext["nhost"].tolist()
+            nl = ext["nlev"].tolist()
+            for i, p in enumerate(ext["nprog"].tolist()):
+                if isinstance(p, str):
+                    praw[i] = f"[{nh[i]} {p}:{nl[i]}]"
+                    prog[i] = p
         cols["program_raw"] = praw
-        cols["program_name"] = ext["prog"].tolist()
+        cols["program_name"] = prog
         cols["program_pid"] = [p if isinstance(p, str) else None
                                for p in ext["pid"].tolist()]
         cols["message"] = [f"{p}: {c}" for p, c in zip(praw, content)]
@@ -558,6 +618,17 @@ def _fast_cols(parser, raw_list, ext: pd.DataFrame, options,
         # (⇔ the state machine skipping its program stage); content is
         # non-empty by the cohort regex, so prune_empty can't apply
         cols["message"] = list(content)
+    if "cdt" in ext.columns:
+        # Cisco rows (either variant): a matched second timestamp sets
+        # ntp from the flag (⇔ parser_core.py:688-695); a bare SEQ
+        # (cdt absent) leaves ntp unset, like the slow path
+        cfl = ext["cflag"].tolist()
+        ntp_out = cols["ntp"]
+        for i, cd in enumerate(ext["cdt"].tolist()):
+            if isinstance(cd, str):
+                f = cfl[i]
+                ntp_out[i] = ("out of sync" if f == "." else
+                              "not configured" if f == "*" else "ok")
     # JSON-tail / K-V detection: these stages only ADD SDATA (content
     # is untouched without '[', which the fast cohort excludes), so
     # they run here through the SAME stage bodies as the state machine
@@ -666,6 +737,12 @@ def _parse_batch(parser, raw: pd.Series, options, field_names, plain_fields,
     ext = raw.str.extract(fast_re)
     if "prog" in fast_re.groupindex:
         mask = (ext["prog"].notna() & ~ext["prog"].isin(_PRIO_WORDS)).to_numpy()
+        if "nprog" in fast_re.groupindex:
+            # NetApp bracket-form rows join the cohort only when a PRI
+            # preamble parsed: without one the slow path's level-fills-
+            # priority rule could fire (parser_core.py:733-735), which
+            # the vectorized assembly doesn't replicate
+            mask |= (ext["nprog"].notna() & ext["pre"].notna()).to_numpy()
     else:
         # no-program variant: nothing downstream rewrites the matched
         # rest-of-line, so a match alone is cohort membership (the

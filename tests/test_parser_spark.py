@@ -143,6 +143,18 @@ def test_fast_path_equals_slow_on_mixed_corpus():
         "Jun  1 12:00:00 host1 : colon-led rest",
         "Jun  1 12:00:00 host1 trailing space ",
         "Jun  1 12:00:00 host1 app[1:2]: colon pid",
+        # cisco seq + 2nd timestamp + ntp flag cohort edges
+        "<189>Jun  1 12:00:00 host1 725419: *Jun  1 12:00:00: "
+        "%SYS-5-CONFIG_I: Configured from console",
+        "<189>Jun  1 12:00:00 host1 42: .Jun  1 12:00:01: %LINK-3-UPDOWN: up",
+        "<189>Jun  1 12:00:00 host1 7: Jun  1 12:00:02: %X-1-Y: no flag",
+        "Jun  1 12:00:00 host1 99: restarting now",          # seq, no 2nd date
+        "Jun  1 12:00:00 host1 1: Jun  1 12:00:03 no colon after date",
+        "Jun  1 12:00:00 host1 %APP-1-X: percent prog no cisco",
+        # netapp bracket-form cohort edges
+        "<5>Jun  1 12:00:00 host1 [node01 raid.disk.online:notice]: Disk 3 ok",
+        "Jun  1 12:00:00 host1 [node01 raid.disk.online:notice]: no pri level",
+        "<5>Jun  1 12:00:00 host1 [node01 raid:bogus]: unknown level",
         None,
     ]
     plain = [
@@ -186,8 +198,9 @@ def test_fast_path_equals_slow_on_mixed_corpus():
     # detection-enabled sets legitimately exclude '='/'{' content)
     mask = raw.str.extract(_fast_regex(option_sets[0]))["prog"].notna()
     assert mask.mean() > 0.3, mask.mean()
-    # ... and the no-program variant must engage at least as widely
-    # (its cohort is a superset shape: it has no praw/colon requirement)
+    # ... and the no-program variant must also engage on the majority
+    # of the mix (it lacks the cisco/netapp tails the default regex
+    # has, so it is not a strict superset — just require real coverage)
     np_mask = raw.str.extract(
         _fast_regex(option_sets[4]))["content"].notna()
-    assert np_mask.mean() >= mask.mean(), (np_mask.mean(), mask.mean())
+    assert np_mask.mean() > 0.3, np_mask.mean()

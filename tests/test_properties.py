@@ -105,7 +105,15 @@ def _syslog_like(draw):
     sep = draw(st.sampled_from([": ", ":", ":  ", " - ", " "]))
     content = draw(_CONTENT)
     hostsep = " " if host else ""
-    return f"{pri}{dt} {host}{hostsep}{prog}{tail}{sep}{content}"
+    # optional cisco infix (seq + flagged 2nd timestamp) or netapp
+    # bracket-form between host and program — the other slow-path
+    # template families the fast path may claim
+    infix = draw(st.sampled_from(
+        ["", "", "", "42: *Jun  2 03:04:05: ", "725419: .Jun 2 3:04:05: ",
+         "7: Jun  2 03:04:05: ", "99: ", ": Jun  2 03:04:05: "]))
+    if draw(st.booleans()) and host:
+        return (f"{pri}{dt} {host} [{host} {prog}:notice]{sep}{content}")
+    return f"{pri}{dt} {host}{hostsep}{infix}{prog}{tail}{sep}{content}"
 
 
 @given(st.lists(st.one_of(_syslog_like(), st.text(max_size=120)),
