@@ -286,6 +286,13 @@ def main():
 
     n_rows = rows_for_sf(SF)
     detail: dict = {"sf": SF, "cpus": CPUS}
+    # fresh-box reference at FULL width, taken before any heavy work:
+    # this sandbox throttles high-concurrency work after sustained
+    # load, and an 8-proc probe is blind to it (measured: 8-proc probe
+    # read ABOVE fresh while the 32-way headline still ran 3x slow) —
+    # the recovery check must probe at the headline's own width
+    probe_fresh_wide = cpu_probe(CPUS, units=CPUS * 24)
+    detail["probe_fresh_wide"] = probe_fresh_wide
     detail["config_matrix_rows_per_sec_1core"] = config_matrix()
 
     # bench IO lives on tmpfs when available: the plan under test is
@@ -312,33 +319,37 @@ def main():
             # heavy work (pytest, oracle checks); the gate phase needs
             # a recovered box for representative raw ratios
             time.sleep(int(os.environ.get("PSL_BENCH_INITIAL_SETTLE_SEC", "180")))
-            # fresh-box reference for the adaptive cooldown below
-            probe_fresh = cpu_probe(8)
             scaling = run_scaling(tmp, n_rows)
             detail["scaling"] = scaling
             # ADAPTIVE cooldown: the box recovers from sustained-load
             # throttle on a minutes timescale, and fixed sleeps (120s,
             # 300s) both proved too short — headline passes kept
             # reading 48-69s during recovery vs 14-17s recovered.
-            # Poll the raw-CPU probe until it is back to >=90% of the
-            # pre-scaling reading (bounded at 15 min), then time the
-            # headline on a genuinely recovered box.
+            # Poll the FULL-WIDTH raw-CPU probe until it is back to
+            # >=90% of the bench-start reading (bounded at 15 min):
+            # the throttle is concurrency-dependent, so only a probe
+            # as wide as the headline job can certify recovery.
             waited = 0
+            p = 0.0
             cap = int(os.environ.get("PSL_BENCH_COOLDOWN_CAP_SEC", "900"))
             while waited < cap:
                 time.sleep(60)
                 waited += 60
-                p = cpu_probe(8)
-                if p >= 0.9 * probe_fresh:
+                p = cpu_probe(CPUS, units=CPUS * 24)
+                if p >= 0.9 * probe_fresh_wide:
                     break
             detail["cooldown"] = {
-                "probe_fresh_8proc": probe_fresh,
-                "probe_resumed_8proc": p,
+                "probe_fresh_wide": probe_fresh_wide,
+                "probe_resumed_wide": p,
                 "waited_sec": waited,
             }
 
         spark = make_spark(CPUS)
-        pipe = pipeline_run(spark, n_rows, os.path.join(tmp, f"c{CPUS}"), passes=3)
+        # 5 passes: hypervisor weather on this box moves in multi-
+        # minute waves that no in-VM probe fully predicts; the median
+        # of 5 dilutes a bad opening wave, and the best pass is
+        # reported alongside as the least-interfered observation
+        pipe = pipeline_run(spark, n_rows, os.path.join(tmp, f"c{CPUS}"), passes=5)
         queries = run_queries(spark)
         queries["syslog_e2e_pipeline"] = pipe["total_sec"]
         spark.stop()
@@ -355,6 +366,9 @@ def main():
             "sf": SF,
             "cpus": CPUS,
             "throughput_lines_per_sec": pipe["lines_per_sec"],
+            "throughput_best_pass": round(
+                pipe["rows"] / min(pipe.get("passes", [pipe["total_sec"]])), 1
+            ),
             "queries": queries,
         }
 
