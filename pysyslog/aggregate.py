@@ -58,18 +58,23 @@ def pipeline_counts(enriched: DataFrame):
     a single shuffled aggregate on (facility, severity, hour) feeds
     both outputs, instead of two full scans of the input.
 
-    hour = date_trunc('hour', ts) groups identically to
-    window('ts','1 hour').start for these fixed hour-aligned windows,
-    EXCEPT that null-ts rows are kept as a null-hour group (window()
-    drops them) — so the hourly view filters the null group back out
-    while the sink totals sum over every group and count every row,
-    exactly like the two-pass originals.  Returns (base, hourly, sinks);
-    the caller persists `base` (≤ sinks × hours rows — tiny next to the
-    input) and both views are cheap derivations from it."""
+    hour buckets are EPOCH-ALIGNED (floor(epoch/3600)*3600), exactly
+    like window('ts','1 hour').start — NOT date_trunc, which truncates
+    in the session timezone and would bucket differently under a
+    non-whole-hour zone offset (+05:30/+05:45) than the two-pass
+    hourly_facility_severity_counts it replaces.  Unlike window(),
+    which injects an isnotnull(ts) filter, null-ts rows are kept as a
+    null-hour group — so the hourly view filters the null group back
+    out while the sink totals sum over every group and count every
+    row, exactly like the two-pass originals.  Returns (base, hourly,
+    sinks); the caller persists `base` (≤ sinks × hours rows — tiny
+    next to the input) and both views are cheap derivations from it."""
     base = (
         enriched.groupBy(
             "facility_name", "severity_name",
-            F.date_trunc("hour", "ts").alias("hour"),
+            F.timestamp_seconds(
+                F.floor(F.col("ts").cast("double") / 3600).cast("long") * 3600
+            ).alias("hour"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )

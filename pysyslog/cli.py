@@ -64,7 +64,10 @@ def _ddp(v, indent: int = 0) -> str:
         return "true" if v else "false"
     if isinstance(v, (int, float)):
         return str(v)
-    return f'"{v}"'
+    # escape backslashes / embedded quotes / control chars (⇔
+    # Data::Printer's print_escapes) — a bare f'"{v}"' would emit an
+    # ambiguous dump for content containing '"'
+    return json.dumps(str(v), ensure_ascii=False)
 
 
 def _render(msg: dict, fmt: str) -> str:

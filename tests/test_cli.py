@@ -50,6 +50,21 @@ def test_stdin_ddp_format():
     assert 'user   "bob"' in out
 
 
+def test_ddp_escapes_quotes_and_control_chars():
+    """Strings with embedded quotes / backslashes / newlines must
+    render unambiguously (⇔ Data::Printer's print_escapes; ADVICE r3:
+    a bare f'\"{v}\"' produced a malformed dump)."""
+    from pysyslog.cli import _ddp
+
+    assert _ddp('say "hi"') == '"say \\"hi\\""'
+    assert _ddp("back\\slash") == '"back\\\\slash"'
+    assert _ddp("line\nbreak") == '"line\\nbreak"'
+    r = run_cli(["--format", "ddp"],
+                'May 19 22:03:29 janus app: quoted "x" tail\n')
+    assert r.returncode == 0, r.stderr
+    assert '\\"x\\"' in r.stdout
+
+
 def test_stdin_no_program():
     r = run_cli(["--no-program"], "May 19 22:03:29 janus sshd[1]: hello\n")
     msg = json.loads(r.stdout.strip())

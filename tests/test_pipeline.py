@@ -117,6 +117,30 @@ def test_pipeline_counts_equal_two_pass_originals(spark, corpus):
     assert sum(want_s.values()) == sum(got_h.values()) + 1
 
 
+def test_pipeline_counts_session_tz_independent(spark, corpus):
+    """The one-pass hour bucket must stay EPOCH-aligned (like
+    window('1 hour').start) under a session timezone with a
+    non-whole-hour offset — date_trunc('hour') would bucket
+    differently there (ADVICE r3)."""
+    df = transform(corpus, OPTS)
+    from pysyslog.aggregate import pipeline_counts
+
+    want = {
+        (r["facility_name"], r["severity_name"], r["hour"]): r["n"]
+        for r in hourly_facility_severity_counts(df).collect()
+    }
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")  # +05:45
+    try:
+        _, hourly, _ = pipeline_counts(df)
+        got = {
+            (r["facility_name"], r["severity_name"], r["hour"]): r["n"]
+            for r in hourly.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert got == want
+
+
 def test_salted_counts_equal_plain_groupby(spark, corpus):
     df = transform(corpus, OPTS)
     plain = {
