@@ -153,34 +153,43 @@ _FAST_MIN_FRAC = 0.15
 
 
 def _fast_regex(options: ParserOptions):
-    """Anchored clean-BSD matcher for the active options, or None when
+    """Anchored clean-line matcher for the active options, or None when
     the option set can't take the fast path at all.  Two variants share
-    the preamble/datetime/host prefix: the default one splits program
-    from content; the extract_program=False one captures the whole
-    rest-of-line as content (the state machine skips its program stage
-    then, so "no program" must be the CHEAPER preset, as it is in the
-    reference's benchmark matrix — not a fast-path opt-out)."""
+    the preamble/datetime/host/relay prefix: the default one splits
+    program from content; the extract_program=False one captures the
+    whole rest-of-line as content (the state machine skips its program
+    stage then, so "no program" must be the CHEAPER preset, as it is in
+    the reference's benchmark matrix — not a fast-path opt-out)."""
     if not options.date_parsing or options.fmt_date is not None:
         return None
-    # content may not contain anything a later stage would REWRITE:
-    # '[' guards both SDATA forms (they splice content).  The JSON and
-    # K/V detectors only ADD the SDATA fields — content untouched — so
-    # '{' / '=' rows stay in the fast cohort and _fast_cols computes
-    # their sdata through the same shared stage bodies
-    # (parser_core.json_tail_sdata / kv_sdata) the state machine runs.
-    excl = "\\[\\n"
+    # Content may contain anything a later stage only ADDS from or
+    # REWRITES through a SHARED stage body: the JSON / K/V detectors
+    # add SDATA (content untouched), and since r4 the strict/loose
+    # structured-data splices run in the fast path too
+    # (parser_core.strict_sdata_splice / loose_sdata_splice — the very
+    # code the state machine runs), so '['-bearing content stays in
+    # the fast cohort instead of kicking the whole row to the state
+    # machine.  Only '\n' (multi-line) is excluded outright.
     import re as _re
 
     # dt: plain BSD (optional leading year — the (?=[A-Z]) lookahead
     # binds it to the BSD branch only, matching RE_DATE_BSD's year
     # prefix; optional fractional seconds) or ISO8601 — same shapes the
     # slow path's RE_DATE_BSD / RE_DATE_ISO would consume.
+    # preamble: optional RFC5424 version digit(s) after the PRI —
+    # RE_PREAMBLE's (\d{0,2}(?=\s))?\s* — consumed only when followed
+    # by whitespace, exactly like the slow path.
     # host: either a bare IPv4 (host==host_raw, no domain split) or
     # dotted labels that each start with a letter — such a string cannot
     # contain an IPv4 substring (needs digit.digit), so the slow path's
     # IP-in-host special case is provably inert on this cohort.  The
     # host slot may be ABSENT only when the program is a leading-/
-    # path ((?=/) branch) — the state machine's no-host cron form.
+    # path whose first token carries a ':' (the no-host lookahead in
+    # each variant) — RE_HOST (`([^:\s]+)\s+`) treats ANY colon-free
+    # space-followed token as the host, so the colon-in-first-token
+    # requirement is exactly RE_HOST's failure condition (a space-y
+    # pid like "/x[a b]:" would put the ':' in a LATER token, so the
+    # lookahead checks the first token only).
     # program: a leading-/ path (keeps '/' without the name/sub split,
     # ⇔ Line.pm name.startswith('/') rule) or a letter-led token with
     # no '/' (so the split rule can't fire); the letter-led start also
@@ -189,7 +198,7 @@ def _fast_regex(options: ParserOptions):
     # BSD, iy/imo/... for ISO) so the vectorized derivation works from
     # this one regex pass instead of re-extracting per cohort
     prefix = (
-        r"^(?:<(?P<pre>\d{1,3})>)?"
+        r"^(?:<(?P<pre>\d{1,3})>(?:(?P<ver>\d{1,2})[ \t]++)?)?"
         r"(?:(?P<yr>\d{4})\s(?=[A-Z]))?"
         # fraction: exactly .mmm or .uuuuuu (RE_DATE_BSD's envelope) —
         # other digit counts are consumed only partially by the slow
@@ -204,18 +213,30 @@ def _fast_regex(options: ParserOptions):
         r"\s(?:(?P<host>\d{1,3}(?:\.\d{1,3}){3}"
         r"|[A-Za-z][A-Za-z0-9_-]*(?:\.[A-Za-z][A-Za-z0-9_-]*)*)\s|"
     )
+    # relay hop "[num ]ISO origin " ⇔ RE_RELAY (parser_core.py:114-126;
+    # the hop count is matched but not captured — the slow path
+    # discards it too) with every piece a strict subset (T-separated ISO whose \S* tail
+    # is exactly the enumerated fraction+offset, letter-led colon-free
+    # origin, single spaces), so when this group matches, RE_RELAY
+    # consumes the identical text with identical groups — and the
+    # while-loop exits after one hop because the next char is the
+    # program/content head (letter, '%', '/', or '['), never
+    # digit/space.  Multi-hop relays fall to the state machine.
+    relay = (
+        r"(?:(?:\d{1,10} )?"
+        r"(?P<odate>\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}"
+        r"(?:\.\d{1,9})?(?:Z|[+-]\d{2}:?\d{2})?)"
+        r" (?P<origin>[A-Za-z][A-Za-z0-9._-]*+) )?"
+    )
     if not options.extract_program:
         # the state machine skips its program stage: content is the
         # whole rest-of-line (message == content, program_* None).
-        # Cohort guards: first char letter or '/' keeps the relay
-        # (digit/ws) and Cisco (ws/digit/':') stages no-ops and makes
-        # strict SDATA's ^\[ anchor unreachable; '[' is allowed only
-        # attached to a non-space char — RE_SDATA_LOOSE needs (^|\s)\[
-        # — so "prog[pid]:" stays in-cohort while " [x=y]" falls to the
-        # state machine.  The no-host branch requires ':' inside the
-        # first token: RE_HOST (`([^:\s]+)\s+`) treats ANY colon-free
-        # space-followed token as the host — even "/usr/bin/x" — and
-        # only fails (⇒ no host) when the token carries a colon.
+        # Cohort guards: first char letter/'/'/'%'/'[' keeps the relay
+        # (digit/ws) and Cisco (ws/digit/':') stages no-ops ('[' is
+        # admitted because with ExtractProgram off the NetApp stage
+        # never runs, and both SDATA forms go through the shared splice
+        # bodies in _fast_cols).  The no-host branch requires ':'
+        # inside the first token — RE_HOST's exact failure condition.
         # Possessive quantifiers: the tokenization is deterministic, so
         # a failing line exits without backtracking.  The Cisco
         # seq/2nd-timestamp stages run regardless of ExtractProgram
@@ -228,17 +249,16 @@ def _fast_regex(options: ParserOptions):
         # "Jun  1 12:00:03" (no colon) or even "foo 12 33:44" as a
         # second date.  The (?![A-Za-z]{3}[ \t]+\d) lookahead kicks
         # every such shape to the state machine (content can't start
-        # with the flag or year forms — first char is letter/slash/%)
+        # with the flag or year forms — first char is letter/slash/%/[)
         return _re.compile(
-            prefix + r"(?=/[^\s:]*:))"
+            prefix + r"(?=/[^\s:]*:))" + relay +
             r"(?:(?P<cseq>\d{0,10}): (?:(?P<cflag>[.*])?"
             r"(?P<cdt>[A-Z][a-z]{2}\s+\d{1,2}\s+\d{2}:\d{2}:\d{2}): "
             r"|(?![A-Za-z]{3}[ \t]+\d)))?"
-            r"(?P<content>[A-Za-z/%](?:\S++|[ \t]++(?!\[))*+)$"
+            r"(?P<content>[A-Za-z/%\[][^\n]*+)$"
         )
-    # Two more template families join the default cohort as tail
-    # alternatives, each consuming exactly what the state machine's
-    # stage would:
+    # Tail alternatives beyond the plain program form, each consuming
+    # exactly what the state machine's stage would:
     # - Cisco infix "SEQ: [flag]Mmm dd HH:MM:SS: " — RE_CISCO_SEQ eats
     #   "SEQ: " (empty SEQ allowed) and RE_DATE_LONG eats the flagged
     #   second timestamp INCLUDING its trailing ':' (its (?:\:?) tail);
@@ -254,17 +274,50 @@ def _fast_regex(options: ParserOptions):
     #   level-fills-priority rule only fires when no PRI preamble was
     #   parsed, so the fast cohort requires `pre` (checked in the
     #   mask, not here) and the level is then provably ignored.
+    # - program separator: ':' (split at the FIRST colon — prog/pid
+    #   classes exclude ':', so RE_PROGRAM's greedy [^:]+ stops at
+    #   exactly this boundary) or the RFC5424-ish " -" form.  The
+    #   hyphen form is only equivalent when the rest-of-line contains
+    #   no ':' and no further ws-hyphen-ws: RE_PROGRAM's greedy [^:]+
+    #   would otherwise split at the first colon or at the RIGHTMOST
+    #   " - " (Line.pm:878) — the two lookaheads kick those to the
+    #   state machine.
     return _re.compile(
-        prefix + r"(?=/))"
+        prefix + r"(?=/[^\s:]*+:))" + relay +
         r"(?:(?:(?P<cseq>\d{0,10}): (?:(?P<cflag>[.*])?"
         r"(?P<cdt>[A-Z][a-z]{2}\s+\d{1,2}\s+\d{2}:\d{2}:\d{2}): )?)?"
         r"(?P<praw>(?P<prog>/[A-Za-z0-9._/-]+|%?[A-Za-z][A-Za-z0-9._/-]+)"
         r"(?:\[(?P<pid>[^\]:()]+)\])?)"
-        r":\s+"
+        r"(?::\s++|(?P<hsep>[ \t]-)[ \t]++(?=[^:\n]*+$)(?![^\n]*[ \t]-[ \t]))"
         r"|\[(?P<nhost>[^\s:\]\[]+) (?P<nprog>[^\s:\]\[]+)"
         r":(?P<nlev>[^\s:\]\[]+)\]: (?![ :]))"
-        r"(?P<content>[^" + excl + r"]*)$"
+        r"(?P<content>[^\n]*+)$"
     )
+
+
+class _Groups:
+    """Matched-row group access for the fast path: a list of
+    match.groups() tuples plus the name→slot map.  Replaces pandas
+    str.extract — the 35-object-column DataFrame it builds (NaN
+    sanitization included) cost ~3µs/row, pure overhead next to one
+    C-level groups() call per row.  Unmatched groups are None (not
+    NaN)."""
+
+    __slots__ = ("tups", "idx")
+
+    def __init__(self, tups, idx):
+        self.tups = tups
+        self.idx = idx
+
+    def __len__(self) -> int:
+        return len(self.tups)
+
+    def has(self, name) -> bool:
+        return name in self.idx
+
+    def col(self, name) -> list:
+        i = self.idx[name]
+        return [t[i] for t in self.tups]
 
 
 _DIM_VEC = None
@@ -328,9 +381,9 @@ def _bsd_dt_tuples(parser, comps, yrs):
     n = len(dts)
     out = [None] * n
     mon_map = _month_map()
-    mo_num = [mon_map.get(m) if m == m else None for m in mon_l]
+    mo_num = [mon_map.get(m) if m is not None else None for m in mon_l]
     ok = [
-        mn is not None and not (f == f and f.endswith("000"))
+        mn is not None and not (f is not None and f.endswith("000"))
         for mn, f in zip(mo_num, fr_l)
     ]
     if any(ok):
@@ -341,11 +394,11 @@ def _bsd_dt_tuples(parser, comps, yrs):
         mi = np.array([int(mi_l[i]) for i in idx], dtype="int64")
         s = np.array([int(s_l[i]) for i in idx], dtype="int64")
         yv = np.array(
-            [int(yrs[i]) if yrs[i] == yrs[i] else parser.local_year
+            [int(yrs[i]) if yrs[i] is not None else parser.local_year
              for i in idx],
             dtype="int64",
         )
-        hy = np.array([yrs[i] == yrs[i] for i in idx], dtype=bool)
+        hy = np.array([yrs[i] is not None for i in idx], dtype=bool)
         dim = _days_in_month_vec(yv, mo)
         valid = (
             (yv >= 1) & (d >= 1) & (d <= dim) & (h <= 23) & (mi <= 59)
@@ -363,11 +416,11 @@ def _bsd_dt_tuples(parser, comps, yrs):
         for j, i in enumerate(idx):
             if validl[j]:
                 f = fr_l[i]
-                fd = "." + f if f == f else ""
+                fd = "." + f if f is not None else ""
                 b = basel[j]
                 utc = b + fd + "Z"
                 sv = secl[j]
-                us = sv * 1_000_000 + (int(str(f).ljust(6, "0")) if f == f else 0)
+                us = sv * 1_000_000 + (int(f.ljust(6, "0")) if f is not None else 0)
                 out[i] = (
                     str(sv) + fd, utc, utc, utc, "Z", b[:10], b[11:] + fd, us,
                 )
@@ -386,7 +439,7 @@ def _dt_fallback(parser, dts, yrs, out):
     for i in range(len(dts)):
         if out[i] is None:
             yr = yrs[i]
-            if yr == yr:
+            if yr is not None:
                 src = f"{yr} {dts[i]}"
                 m = RE_DATE_BSD.match(src)
                 groups = m.groups() if m and m.end() == len(src) else None
@@ -421,7 +474,7 @@ def _iso_dt_tuples(parser, comps, yrs):
     # fractions ending 000 re-render shorter ('.000' -> '', '.123000'
     # -> '.123'): not identity, so those rows take the per-row path
     ok = [
-        r == "" and not (f == f and f.endswith("000"))
+        r == "" and not (f is not None and f.endswith("000"))
         for r, f in zip(rest_l, fr_l)
     ]
     if any(ok):
@@ -438,7 +491,7 @@ def _iso_dt_tuples(parser, comps, yrs):
         )
         valid &= d <= _days_in_month_vec(y, mo)
         offm = [
-            0 if (o != o or o == "Z")
+            0 if (o is None or o == "Z")
             else (-1 if o[0] == "-" else 1)
             * (int(o[1:3]) * 60 + int(o.replace(":", "")[3:5]))
             for o in (off_l[i] for i in idx)
@@ -452,11 +505,11 @@ def _iso_dt_tuples(parser, comps, yrs):
             if not validl[j]:
                 continue
             f = fr_l[i]
-            fd = "." + f if f == f else ""
+            fd = "." + f if f is not None else ""
             b = basel[j]
             utc = b + fd + "Z"
             sv = secl[j]
-            us = sv * 1_000_000 + (int(str(f).ljust(6, "0")) if f == f else 0)
+            us = sv * 1_000_000 + (int(f.ljust(6, "0")) if f is not None else 0)
             if offm[j] == 0:
                 out[i] = (
                     str(sv) + fd, utc, utc, utc, "Z", b[:10], b[11:] + fd, us,
@@ -483,8 +536,8 @@ def _fast_cols(parser, raw_list, ext: pd.DataFrame, options,
     no per-field pandas .map (each would cost a Python call per row)."""
     n = len(ext)
     cols: dict[str, list] = {f: [None] * n for f in field_names}
-    dt_list = ext["dt"].tolist()
-    yr_list = ext["yr"].tolist()
+    dt_list = ext.col("dt")
+    yr_list = ext.col("yr")
     bsd_mask = [s[0].isalpha() for s in dt_list]
     vec_ok = parser.local_offset_min == 0 and parser._tm_render is None
     if vec_ok:
@@ -495,7 +548,7 @@ def _fast_cols(parser, raw_list, ext: pd.DataFrame, options,
         tups: list = [None] * n
 
         def _sel(names, pos):
-            collists = [ext[c].tolist() for c in names]
+            collists = [ext.col(c) for c in names]
             return [[cl[i] for i in pos] for cl in collists]
 
         iso_pos = [i for i, b in enumerate(bsd_mask) if not b]
@@ -523,10 +576,10 @@ def _fast_cols(parser, raw_list, ext: pd.DataFrame, options,
         table: dict = {}
         tups = []
         for s, yr in zip(dt_list, yr_list):
-            key = s if yr != yr else f"{s} {yr}"
+            key = s if yr is None else f"{s} {yr}"
             t = table.get(key)
             if t is None:
-                if yr != yr:
+                if yr is None:
                     d = parser.dt_fields(s)
                 else:
                     src = f"{yr} {s}"
@@ -546,7 +599,7 @@ def _fast_cols(parser, raw_list, ext: pd.DataFrame, options,
     # the state machine renders year-prefixed datetime_raw as
     # "Mmm d HH:MM:SS yyyy" (parser_core parse: g[1] + ' ' + g[0])
     cols["datetime_raw"] = [
-        s if yr != yr else f"{s} {yr}" for s, yr in zip(dt_list, yr_list)
+        s if yr is None else f"{s} {yr}" for s, yr in zip(dt_list, yr_list)
     ]
     # PRI preamble (⇔ Line.pm:719-731): arithmetic + name lookup,
     # resolved once per distinct preamble value
@@ -554,9 +607,7 @@ def _fast_cols(parser, raw_list, ext: pd.DataFrame, options,
 
     ptab: dict = {None: (None,) * 5}
     pres = []
-    for s in ext["pre"].tolist():
-        if s != s:  # NaN
-            s = None
+    for s in ext.col("pre"):
         t = ptab.get(s)
         if t is None:
             p = int(s)
@@ -565,13 +616,27 @@ def _fast_cols(parser, raw_list, ext: pd.DataFrame, options,
         pres.append(t)
     (cols["preamble"], cols["priority_int"], cols["facility_int"],
      cols["priority"], cols["facility"]) = (list(t) for t in zip(*pres))
+    # RFC5424 version digit after the PRI (⇔ parser_core.py:607 — Perl
+    # truthiness: "0" is consumed but sets no key; "00" sets version 0)
+    ver_out = cols["version"]
+    for i, v in enumerate(ext.col("ver")):
+        if isinstance(v, str) and v != "0":
+            ver_out[i] = int(v)
+    # one relay hop (⇔ parser_core relay loop, single iteration on this
+    # cohort): origin_date is copied VERBATIM — the slow path never
+    # parses it (Line.pm:855 keeps the matched string)
+    org_out, od_out = cols["origin"], cols["origin_date"]
+    od_list = ext.col("odate")
+    for i, o in enumerate(ext.col("origin")):
+        if isinstance(o, str):
+            org_out[i] = o
+            od_out[i] = od_list[i]
     # host: IPv4 (digit-led) keeps the whole string, no domain split
     # (⇔ Line.pm:841-844); named hosts split host/domain on first '.'
-    hosts = ext["host"].tolist()
+    hosts = ext.col("host")
     host_out, dom_out = cols["host"], cols["domain"]
     for i, h in enumerate(hosts):
-        if h != h:  # no-host (path-program) form: host fields stay None
-            hosts[i] = None
+        if h is None:  # no-host (path-program) form: host fields stay None
             continue
         if h[0].isdigit():
             host_out[i] = h
@@ -581,11 +646,11 @@ def _fast_cols(parser, raw_list, ext: pd.DataFrame, options,
             if sep:
                 dom_out[i] = b
     cols["host_raw"] = hosts
-    content = ext["content"].tolist()
+    content = ext.col("content")
     cols["content"] = content
-    if "praw" in ext.columns:
-        praw = ext["praw"].tolist()
-        prog = ext["prog"].tolist()
+    if ext.has("praw"):
+        praw = ext.col("praw")
+        prog = ext.col("prog")
         # slash rule (⇔ parser_core.py:720-722 / Line.pm): a name that
         # CONTAINS '/' but doesn't start with it splits into
         # name/sub; '/'-led path programs keep the whole path.  Runs
@@ -598,45 +663,79 @@ def _fast_cols(parser, raw_list, ext: pd.DataFrame, options,
                 name, _, sub = p.partition("/")
                 prog[i] = name
                 sub_out[i] = sub
-        if "nprog" in ext.columns:
+        if ext.has("nprog"):
             # NetApp bracket-form rows: praw/prog come from the 3-way
             # split groups (⇔ parser_core.py:724-736; program_raw is
             # the bracket WITHOUT the trailing colon)
-            nh = ext["nhost"].tolist()
-            nl = ext["nlev"].tolist()
-            for i, p in enumerate(ext["nprog"].tolist()):
+            nh = ext.col("nhost")
+            nl = ext.col("nlev")
+            for i, p in enumerate(ext.col("nprog")):
                 if isinstance(p, str):
                     praw[i] = f"[{nh[i]} {p}:{nl[i]}]"
                     prog[i] = p
         cols["program_raw"] = praw
         cols["program_name"] = prog
         cols["program_pid"] = [p if isinstance(p, str) else None
-                               for p in ext["pid"].tolist()]
-        cols["message"] = [f"{p}: {c}" for p, c in zip(praw, content)]
+                               for p in ext.col("pid")]
+        # message = program_raw + matched separator + ' ' + PRE-splice
+        # content (⇔ Line.pm:917 — message is assembled before the
+        # SDATA stages rewrite content); separator is ':' for the
+        # colon/NetApp forms, the matched ' -' for the hyphen form
+        hs = ext.col("hsep")
+        cols["message"] = [
+            f"{p}{h if isinstance(h, str) else ':'} {c}"
+            for p, h, c in zip(praw, hs, content)
+        ]
     else:
         # extract_program=False: message == content, program_* None
-        # (⇔ the state machine skipping its program stage); content is
-        # non-empty by the cohort regex, so prune_empty can't apply
+        # (⇔ the state machine skipping its program stage); message is
+        # the PRE-splice content, which is non-empty by the cohort regex
         cols["message"] = list(content)
-    if "cdt" in ext.columns:
+    if ext.has("cdt"):
         # Cisco rows (either variant): a matched second timestamp sets
         # ntp from the flag (⇔ parser_core.py:688-695); a bare SEQ
         # (cdt absent) leaves ntp unset, like the slow path
-        cfl = ext["cflag"].tolist()
+        cfl = ext.col("cflag")
         ntp_out = cols["ntp"]
-        for i, cd in enumerate(ext["cdt"].tolist()):
+        for i, cd in enumerate(ext.col("cdt")):
             if isinstance(cd, str):
                 f = cfl[i]
                 ntp_out[i] = ("out of sync" if f == "." else
                               "not configured" if f == "*" else "ok")
-    # JSON-tail / K-V detection: these stages only ADD SDATA (content
-    # is untouched without '[', which the fast cohort excludes), so
-    # they run here through the SAME stage bodies as the state machine
-    # (parser_core.json_tail_sdata / kv_sdata) — C-speed regex/json
-    # over the cohort instead of the full per-row state machine
-    if options.auto_detect_json or options.auto_detect_key_values:
-        from .parser_core import _merge, json_tail_sdata, kv_sdata
+    # Structured-data splice (strict or loose, per options) through the
+    # SAME stage bodies as the state machine (parser_core.
+    # strict_sdata_splice / loose_sdata_splice): rewrites content and
+    # yields the initial SDATA.  Only '['-bearing rows pay the per-row
+    # body ('[' is the loose stage's own literal guard, and the strict
+    # pattern cannot match without a leading '['; the strict branch's
+    # unconditional lstrip is a no-op here — cohort content never
+    # starts with whitespace, the separators consume it possessively).
+    from .parser_core import (
+        _merge,
+        json_tail_sdata,
+        kv_sdata,
+        loose_sdata_splice,
+        strict_sdata_splice,
+    )
 
+    splice = (
+        strict_sdata_splice if options.rfc5424_strict
+        else loose_sdata_splice if options.rfc5424_structured_data
+        else None
+    )
+    sdata0 = None
+    if splice is not None and any("[" in c for c in content):
+        sdata0 = [None] * n
+        content = list(content)  # message above keeps the pre-splice list
+        for i, c in enumerate(content):
+            if "[" in c:
+                content[i], sdata0[i] = splice(c)
+        cols["content"] = content
+    # JSON-tail / K-V detection: these stages only ADD SDATA, running on
+    # the POST-splice content exactly like the state machine
+    # (parser_core.json_tail_sdata / kv_sdata are the shared bodies);
+    # merge precedence ⇔ Line.pm:966/:995 — existing SDATA keys win
+    if options.auto_detect_json or options.auto_detect_key_values or sdata0:
         want_json = options.auto_detect_json
         want_kv = options.auto_detect_key_values
         sd_out = cols["sdata"]
@@ -644,11 +743,11 @@ def _fast_cols(parser, raw_list, ext: pd.DataFrame, options,
         jerr_out = cols["_json_error"]
         dumps = json.dumps
         for i, c in enumerate(content):
-            sdata = None
+            sdata = sdata0[i] if sdata0 is not None else None
             if want_json and "{" in c:
                 js, jerr = json_tail_sdata(c)
                 if js is not None:
-                    sdata = js
+                    sdata = _merge(js, sdata) if sdata else js
                 elif jerr is not None:
                     jerr_out[i] = jerr
             if want_kv and "=" in c:
@@ -734,34 +833,52 @@ def _parse_batch(parser, raw: pd.Series, options, field_names, plain_fields,
     if fast_re is None or emit_parsed_json or len(raw) == 0:
         return _slow_frame(parser, raw, field_names, plain_fields,
                            emit_parsed_json)
-    ext = raw.str.extract(fast_re)
-    if "prog" in fast_re.groupindex:
-        mask = (ext["prog"].notna() & ~ext["prog"].isin(_PRIO_WORDS)).to_numpy()
-        if "nprog" in fast_re.groupindex:
-            # NetApp bracket-form rows join the cohort only when a PRI
-            # preamble parsed: without one the slow path's level-fills-
-            # priority rule could fire (parser_core.py:733-735), which
-            # the vectorized assembly doesn't replicate
-            mask |= (ext["nprog"].notna() & ext["pre"].notna()).to_numpy()
+    raw_list = raw.tolist()
+    rxm = fast_re.match
+    tups = [
+        m.groups() if s is not None and (m := rxm(s)) else None
+        for s in raw_list
+    ]
+    gi = fast_re.groupindex
+    n = len(tups)
+    if "prog" in gi:
+        pi = gi["prog"] - 1
+        # NetApp bracket-form rows join the cohort only when a PRI
+        # preamble parsed: without one the slow path's level-fills-
+        # priority rule could fire (parser_core.py:733-735), which
+        # the vectorized assembly doesn't replicate
+        ni, prei = gi["nprog"] - 1, gi["pre"] - 1
+        mask = np.fromiter(
+            (
+                t is not None
+                and ((t[pi] is not None and t[pi] not in _PRIO_WORDS)
+                     or (t[ni] is not None and t[prei] is not None))
+                for t in tups
+            ),
+            bool, n,
+        )
     else:
         # no-program variant: nothing downstream rewrites the matched
-        # rest-of-line, so a match alone is cohort membership (the
-        # severity-word filter only exists for the program-name split)
-        mask = ext["content"].notna().to_numpy()
+        # rest-of-line outside the shared splice bodies, so a match
+        # alone is cohort membership (the severity-word filter only
+        # exists for the program-name split)
+        mask = np.fromiter((t is not None for t in tups), bool, n)
     frac = mask.mean()
     if not mask.any() or frac < _FAST_MIN_FRAC:
         # cohort too thin to amortize the vectorized assembly
         return _slow_frame(parser, raw, field_names, plain_fields,
                            emit_parsed_json)
-    raw_arr = np.asarray(raw.tolist(), dtype=object)
+    idx = {name: num - 1 for name, num in gi.items()}
     if frac == 1.0:
-        cols = _fast_cols(parser, list(raw_arr), ext, options, field_names)
+        cols = _fast_cols(parser, raw_list, _Groups(tups, idx), options,
+                          field_names)
         return _typed_frame(cols, raw.index, field_names)
     pos_fast = np.flatnonzero(mask)
     pos_slow = np.flatnonzero(~mask)
-    fast = _fast_cols(parser, list(raw_arr[pos_fast]), ext[mask], options,
+    fast = _fast_cols(parser, [raw_list[i] for i in pos_fast],
+                      _Groups([tups[i] for i in pos_fast], idx), options,
                       field_names)
-    slow = _slow_cols(parser, list(raw_arr[pos_slow]), field_names,
+    slow = _slow_cols(parser, [raw_list[i] for i in pos_slow], field_names,
                       plain_fields, emit_parsed_json)
     out: dict = {}
     n = len(raw)

@@ -263,6 +263,68 @@ def kv_sdata(content: str):
     return sdata or None
 
 
+def strict_sdata_splice(content: str):
+    """RFC5424 strict structured-data stage body (⇔ Line.pm:921-935):
+    consume leading [sdid k="v" ...] groups from the content head,
+    returning (new_content, sdata-or-None).  Shared by the state
+    machine and the vectorized fast path (parser._fast_cols) so the
+    two cohorts cannot drift.  The trailing lstrip is unconditional,
+    exactly like the reference."""
+    sdata = None
+    while True:
+        m = RE_SDATA_STRICT.match(content)
+        if not m:
+            break
+        content = content[m.end():]
+        sdid, _, sdata_s = re.split(r"(\s+)", m.group(1), maxsplit=1)
+        for t in RE_STRICT_TOKEN.finditer(sdata_s):
+            k, v = t.group(1).split("=", 1)
+            if not v:
+                continue
+            if sdata is None:
+                sdata = {}
+            sdata.setdefault(sdid, {})[k] = v[1:-1]  # trim quotes (:929)
+    return RE_LSTRIP.sub("", content), sdata
+
+
+def loose_sdata_splice(content: str):
+    """RFC5424-ish loose structured-data stage body (⇔ Line.pm:937-956):
+    splice every (^|ws)[group k=v ...] out of content, returning
+    (new_content, sdata-or-None).  Shared by the state machine and the
+    vectorized fast path.  Quirk parity: the first-':'-re-space runs
+    once per splice iteration and the final lstrip only when any
+    SDATA was extracted — exactly the reference's flow."""
+    sdata = None
+    while True:
+        m = RE_SDATA_LOOSE.search(content)
+        if not m:
+            break
+        content = content[: m.start()] + content[m.end():]
+        inner = m.group(1)
+        gm = RE_SDATA_GROUP.match(inner)
+        group = None
+        if gm:
+            group = gm.group(1)
+            inner = inner[gm.end():]
+        for t in RE_LOOSE_TOKEN.finditer(inner):
+            k, v = t.group(1).split("=", 1)
+            if not v:
+                continue
+            v = RE_UNQUOTE.sub("", v)
+            if sdata is None:
+                sdata = {}
+            if group:
+                sdata.setdefault(group, {})[k] = v
+            else:
+                sdata[k] = v
+        # re-space quirk (:953): first ':' + following ws -> ': '
+        if sdata:
+            content = RE_RESPACE.sub(": ", content, count=1)
+    if sdata:
+        content = RE_LSTRIP.sub("", content)
+    return content, sdata
+
+
 def _frac_str(ns: int) -> str:
     """Fraction rendering of Time::Moment's %f: empty when zero, else
     a dot plus 3/6/9 digits (smallest group that is exact)."""
@@ -746,53 +808,18 @@ class SyslogParser:
             else content
         )
 
-        # RFC structured data (:921-956)
+        # RFC structured data (:921-956) — stage bodies shared with the
+        # vectorized fast path (strict_sdata_splice / loose_sdata_splice)
         if opts.rfc5424_strict:
-            content = msg["content"]
-            while True:
-                m = RE_SDATA_STRICT.match(content)
-                if not m:
-                    break
-                content = content[m.end():]
-                sdid, _, sdata_s = re.split(r"(\s+)", m.group(1), maxsplit=1)
-                for t in RE_STRICT_TOKEN.finditer(sdata_s):
-                    k, v = t.group(1).split("=", 1)
-                    if not v:
-                        continue
-                    v = v[1:-1]  # trim quotes (:929)
-                    msg.setdefault("SDATA", {}).setdefault(sdid, {})[k] = v
-            content = RE_LSTRIP.sub("", content)
-            msg["content"] = content
+            msg["content"], sdata = strict_sdata_splice(msg["content"])
+            if sdata is not None:
+                msg["SDATA"] = sdata
         elif opts.rfc5424_structured_data and "[" in msg["content"]:
             # the '[' literal guard skips the regex scan on the ~common
             # case; the loose pattern cannot match without one
-            content = msg["content"]
-            while True:
-                m = RE_SDATA_LOOSE.search(content)
-                if not m:
-                    break
-                content = content[: m.start()] + content[m.end():]
-                inner = m.group(1)
-                gm = RE_SDATA_GROUP.match(inner)
-                group = None
-                if gm:
-                    group = gm.group(1)
-                    inner = inner[gm.end():]
-                for t in RE_LOOSE_TOKEN.finditer(inner):
-                    k, v = t.group(1).split("=", 1)
-                    if not v:
-                        continue
-                    v = RE_UNQUOTE.sub("", v)
-                    if group:
-                        msg.setdefault("SDATA", {}).setdefault(group, {})[k] = v
-                    else:
-                        msg.setdefault("SDATA", {})[k] = v
-                # re-space quirk (:953): first ':' + following ws -> ': '
-                if msg.get("SDATA"):
-                    content = RE_RESPACE.sub(": ", content, count=1)
-            if msg.get("SDATA"):
-                content = RE_LSTRIP.sub("", content)
-            msg["content"] = content
+            msg["content"], sdata = loose_sdata_splice(msg["content"])
+            if sdata is not None:
+                msg["SDATA"] = sdata
 
         # JSON tail (:958-972) — stage body shared with the fast path
         if opts.auto_detect_json:

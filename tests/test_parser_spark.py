@@ -155,6 +155,44 @@ def test_fast_path_equals_slow_on_mixed_corpus():
         "<5>Jun  1 12:00:00 host1 [node01 raid.disk.online:notice]: Disk 3 ok",
         "Jun  1 12:00:00 host1 [node01 raid.disk.online:notice]: no pri level",
         "<5>Jun  1 12:00:00 host1 [node01 raid:bogus]: unknown level",
+        # r4 cohort: version digit after PRI (Perl truthiness: "0"
+        # consumed but unset, "00" -> version 0), relay hop, hyphen
+        # program separator, '['-bearing content (loose/strict SDATA
+        # splice through the shared stage bodies)
+        "<34>1 2018-06-01T12:00:00+00:00 host1 app[9]: versioned",
+        "<34>0 2018-06-01T12:00:00Z host1 app: version zero",
+        "<34>00 2018-06-01T12:00:00Z host1 app: version double zero",
+        "<34>12 Jun  1 12:00:00 host1 app: two-digit version bsd",
+        "<34>1 2018-06-01T12:00:00+00:00 host1 1 2018-06-01T12:00:00.042Z "
+        "relay7 APP-3 - EVENT_1 [exampleSDID@32473 iut=\"3\" eventID=\"99\"]",
+        "2018-06-01T12:00:00Z host1 2018-06-01T11:59:59Z origin1 app: relayed",
+        "Jun  1 12:00:00 host1 55 2018-06-01T11:59:59+02:00 origin2 app[4]: "
+        "numbered relay",
+        "Jun  1 12:00:00 host1 2018-06-01T11:59:59Zx app: relay junk tail",
+        "Jun  1 12:00:00 host1 1 2018-06-01T11:59:59Z r1 2 2018-06-01T11:59:58Z "
+        "r2 app: double relay hop",
+        "Jun  1 12:00:00 host1 app - hyphen separator content",
+        "Jun  1 12:00:00 host1 app - trailing colon: not fast",
+        "Jun  1 12:00:00 host1 app - a - b rightmost split",
+        "Jun  1 12:00:00 host1 app -x no ws after hyphen",
+        "Jun  1 12:00:00 host1 app[7] - hyphen with pid",
+        "Jun  1 12:00:00 host1 err - hyphen severity word",
+        "<13>Jun  1 12:00:00 host1 app[1]: [job@55555 id=4 queue=q2] done "
+        "[retry count=1]",
+        "Jun  1 12:00:00 host1 app: [job@5 id=9] tail: respace quirk",
+        "Jun  1 12:00:00 host1 app: [plain bracket] no kv",
+        "Jun  1 12:00:00 host1 app: [k=v] leading sdata",
+        "Jun  1 12:00:00 host1 app: x[attached=1] not spliced",
+        "Jun  1 12:00:00 host1 app: [a=1][b=2] adjacent groups",
+        "Jun  1 12:00:00 host1 app: [meta x=\"q u o\" y=2] quoted loose",
+        "Jun  1 12:00:00 host1 app: only [grp k=v]",
+        "<165>1 2018-06-01T12:00:00Z host1 app: [timeQuality tzKnown=\"1\" "
+        "isSynced=\"0\"] strict-shaped",
+        "Jun  1 12:00:00 host1 app: [m@1 a=\"1\"][n@2 b=\"2\"] two strict",
+        # the r4 no-host lookahead fix: a space-y pid puts the ':' in a
+        # later token, so RE_HOST succeeds and these must stay slow
+        "Jun  1 12:00:00 /x[a b]: y",
+        "Jun  1 12:00:00 /usr/bin/app[p q]: space pid path",
         None,
     ]
     plain = [
@@ -172,6 +210,10 @@ def test_fast_path_equals_slow_on_mixed_corpus():
         ParserOptions(now_epoch=GEN_NOW_EPOCH, extract_program=False),
         ParserOptions(now_epoch=GEN_NOW_EPOCH, extract_program=False,
                       auto_detect_json=True, auto_detect_key_values=True),
+        ParserOptions(now_epoch=GEN_NOW_EPOCH, rfc5424_strict=True),
+        ParserOptions(now_epoch=GEN_NOW_EPOCH, rfc5424_strict=True,
+                      extract_program=False, auto_detect_key_values=True),
+        ParserOptions(now_epoch=GEN_NOW_EPOCH, rfc5424_structured_data=False),
     ]
     raw = pd.Series(lines, dtype=object)
     for opts in option_sets:

@@ -172,3 +172,114 @@ def test_fast_path_equivalence_property(lines):
             assert g == w, (opts.extract_program, f,
                             [(i, a, b) for i, (a, b)
                              in enumerate(zip(g, w)) if a != b][:3])
+
+
+# ---------------------------------------------------------------------------
+# Fast-path / state-machine equivalence under adversarial composition:
+# every fragment family the r4 master regex claims (PRI+version, BSD/ISO
+# datetimes, relay hops, Cisco infixes, all program separator forms,
+# NetApp brackets, strict/loose SDATA, JSON/KV tails) recombined at
+# random — with _FAST_MIN_FRAC forced to 0 so even a 1-row fast cohort
+# takes the vectorized assembly.  Equivalence is per-column exact.
+# ---------------------------------------------------------------------------
+
+_FRAG_PRI = ["", "<13>", "<191>", "<0>", "<13>1 ", "<34>0 ", "<5>00 ", "<13>12 "]
+_FRAG_DT = [
+    "Jun  1 12:00:00", "Jun 11 12:00:00.123", "2018 Jun  1 12:00:00",
+    "Feb 29 01:02:03", "Xxx  5 11:11:11", "2018-06-01T12:34:56Z",
+    "2018-06-01T12:34:56.123456+02:00", "2018-06-01 12:34:56",
+    "2018-06-01T12:34:56+05", "2018-13-40T99:99:99Z",
+]
+_FRAG_HOST = ["host1 ", "host1.dom.example ", "10.1.2.3 ", "box1.2.3.4 ", ""]
+_FRAG_RELAY = [
+    "", "1 2018-06-01T11:59:59Z relay1 ", "2018-06-01T11:59:59.042Z origin2 ",
+    "7 2018-06-01T11:59:59+05:30 r3 ", "2018-06-01T11:59:59Zx bad ",
+    "1 2018-06-01T11:59:59Z r1 2 2018-06-01T11:59:58Z r2 ",
+]
+_FRAG_CISCO = ["", "123: *Jun  1 12:00:01: ", "42: .Jun  1 12:00:02: ", "9: ", ": "]
+_FRAG_PROG = [
+    "app: ", "app[7]: ", "app - ", "app -", "sshd[a b]: ", "app[1:2]: ",
+    "/usr/sbin/cron[9]: ", "/x[a b]: ", "[n1 raid.disk:notice]: ",
+    "err: ", "err - ", "a/b: ", "%SYS-5-X: ", "two words: ", "",
+]
+_FRAG_CONTENT = [
+    "hello world", "x [k=v] y", "[job@5 id=1 queue=q2] done [retry count=3]",
+    'a=1 b="two" a=3', 'json {"a": 1, "b": [true, null]}', "json {bad",
+    "tail: colon", "a - b - c", '[exampleSDID@32473 iut="3" x="q u"] ok',
+    '[timeQuality tzKnown="1"][meta x="y"] strict pair', "", " lead sp",
+    "[plain] no kv", "x[attached=1]", "only - one", "trailing ",
+]
+
+_EQ_OPTION_SETS = None
+
+
+def _eq_option_sets():
+    global _EQ_OPTION_SETS
+    if _EQ_OPTION_SETS is None:
+        base = ParserOptions(now_epoch=1543622400.0)
+        _EQ_OPTION_SETS = [
+            base,
+            base.with_(auto_detect_json=True, auto_detect_key_values=True),
+            base.with_(rfc5424_strict=True),
+            base.with_(extract_program=False, auto_detect_key_values=True),
+            base.with_(prune_raw=True, prune_empty=True),
+        ]
+    return _EQ_OPTION_SETS
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(_FRAG_PRI), st.sampled_from(_FRAG_DT),
+            st.sampled_from(_FRAG_HOST), st.sampled_from(_FRAG_RELAY),
+            st.sampled_from(_FRAG_CISCO), st.sampled_from(_FRAG_PROG),
+            st.sampled_from(_FRAG_CONTENT),
+        ),
+        min_size=1, max_size=24,
+    ),
+    st.integers(0, 4),
+)
+@settings(max_examples=120, deadline=None)
+def test_fast_path_equals_slow_property(frags, opt_i):
+    import pandas as pd
+
+    import pysyslog.parser as parser_mod
+    from pysyslog.parser import (
+        FIELD_NAMES,
+        _INT_FIELDS,
+        _fast_regex,
+        _parse_batch,
+        _slow_frame,
+    )
+
+    opts = _eq_option_sets()[opt_i]
+    lines = [pri + dt + " " + host + relay + cisco + prog + content
+             for pri, dt, host, relay, cisco, prog, content in frags]
+    raw = pd.Series(lines, dtype=object)
+    plain = [
+        f for f in FIELD_NAMES
+        if f not in _INT_FIELDS
+        and f not in ("epoch_us", "sdata", "sdata_json", "parsed_json")
+    ]
+    fast_re = _fast_regex(opts)
+    old_frac = parser_mod._FAST_MIN_FRAC
+    parser_mod._FAST_MIN_FRAC = 0.0
+    try:
+        got = _parse_batch(SyslogParser(opts), raw, opts, FIELD_NAMES,
+                           plain, False, fast_re)
+    finally:
+        parser_mod._FAST_MIN_FRAC = old_frac
+    want = _slow_frame(SyslogParser(opts), raw, FIELD_NAMES, plain, False)
+
+    def _n(v):
+        if v is None or (isinstance(v, float) and v != v):
+            return "\0"
+        if isinstance(v, float) and v == int(v):
+            return int(v)
+        return v
+
+    for f in FIELD_NAMES:
+        g = [_n(v) for v in got[f].tolist()]
+        w = [_n(v) for v in want[f].tolist()]
+        assert g == w, (opt_i, f, [(lines[i], a, b) for i, (a, b) in
+                                   enumerate(zip(g, w)) if a != b][:2])
