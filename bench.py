@@ -26,9 +26,13 @@ Env:
   PSL_BENCH_SCALE_SETTLE_SEC settle sleep between level runs (default
                        90 — the box needs minutes, not seconds, to
                        shed sustained-load throttle between runs)
-  PSL_BENCH_INITIAL_SETTLE_SEC sleep before the scaling phase (default 180)
+  PSL_BENCH_INITIAL_SETTLE_SEC sleep before the fresh-probe/config-
+                       matrix/scaling phases (default 180)
   PSL_BENCH_COOLDOWN_CAP_SEC cap on the adaptive probe-until-recovered
                        cooldown between scaling and headline (default 900)
+  PSL_BENCH_SCALE_SECONDARY default 1: also run the legacy 2->8 window
+                       (2 reps, no mid level) as secondary scaling
+                       evidence; set 0 to skip
   PSL_BENCH_TMPDIR     bench IO dir (default /dev/shm when present:
                        tmpfs removes this sandbox's 1.3-1.5x disk
                        variance, which is noise, not plan behavior)
@@ -83,13 +87,28 @@ def make_spark(cpus: int):
 
 def pipeline_run(spark, n_rows: int, out_dir: str, warmup: bool = True,
                  passes: int = 1, corpus_dir: str | None = None,
-                 pick: str = "median") -> dict:
+                 pick: str = "median", probe_gate: dict | None = None) -> dict:
     """End-to-end passes; returns stage timings + lines/sec for the
     MEDIAN pass by total time (pick="median") or the FASTEST pass
     (pick="min" — used by the scaling reps, where interference is
     one-sided: steal/GC/JIT hiccups only ever slow a pass down, so the
     fastest of the in-process passes is the least-interfered estimate
     of steady state).  Every pass's numbers are in "passes".
+
+    probe_gate (headline runs only — the r3 verdict's #1 ask): bracket
+    every timed pass with the full-width raw-CPU probe, exactly the
+    discipline the scaling reps already follow.  A pass whose
+    bracketing probes read below `threshold` × the bench-start fresh
+    reading was taken in a certified-bad hypervisor window and is
+    DISCARDED and redone (bounded by `max_redos`; a bounded
+    poll-until-recovered sleep runs before each redo).  Discards are
+    one-sided-honest: only probe-certified-bad windows are dropped — a
+    slow pass on a healthy box is a real observation and is kept.  If
+    the redo budget runs dry before `passes` clean passes exist, the
+    discarded passes are folded back in with fallback_unfiltered=True
+    (evidence either way, never a crash).  Keys: {"probe": fn() ->
+    units/sec, "fresh": float, "threshold": 0.75, "max_redos": int,
+    "recover_cap_sec": int}.
 
     A warmup pass on a 5% slice runs first (not timed): it JIT-compiles
     the JVM paths and spins up the Python workers, so the timed passes
@@ -146,8 +165,7 @@ def pipeline_run(spark, n_rows: int, out_dir: str, warmup: bool = True,
         salted_counts(w, "host").count()
         w.unpersist()
 
-    results = []
-    for _ in range(passes):
+    def one_pass():
         t0 = time.time()
         # no explicit repartition: the corpus was written as cpus*2
         # files and maxPartitionBytes=8m splits the scan across cores —
@@ -180,7 +198,7 @@ def pipeline_run(spark, n_rows: int, out_dir: str, warmup: bool = True,
 
         enriched.unpersist()
         total = time.time() - t0
-        results.append({
+        return {
             "rows": n,
             "agg_rows": agg_rows,
             "sink_rows": sink_rows,
@@ -190,11 +208,64 @@ def pipeline_run(spark, n_rows: int, out_dir: str, warmup: bool = True,
             "agg_sec": round(t_agg, 3),
             "total_sec": round(total, 3),
             "lines_per_sec": round(n / total, 1),
-        })
+        }
+
+    results: list = []
+    discarded: list = []
+    if probe_gate is None:
+        for _ in range(passes):
+            results.append(one_pass())
+    else:
+        probe = probe_gate["probe"]
+        floor = probe_gate["threshold"] * probe_gate["fresh"]
+        budget = passes + probe_gate.get("max_redos", 4)
+        recover_cap = probe_gate.get("recover_cap_sec", 300)
+        p_before = probe()
+        while len(results) < passes and len(results) + len(discarded) < budget:
+            r = one_pass()
+            p_after = probe()
+            if min(p_before, p_after) >= floor:
+                r["probe_before"], r["probe_after"] = p_before, p_after
+                results.append(r)
+                p_before = p_after
+            else:
+                r["probe_before"], r["probe_after"] = p_before, p_after
+                discarded.append(r)
+                # bounded poll-until-recovered before the redo — the
+                # throttle lifts on a minutes timescale
+                waited = 0
+                while p_after < floor and waited < recover_cap:
+                    time.sleep(60)
+                    waited += 60
+                    p_after = probe()
+                p_before = p_after
+        if not results:
+            # every window was certified bad: report the discarded
+            # passes rather than nothing (flagged — evidence either way)
+            results = list(discarded)
+            discarded = []
+            fallback = True
+        else:
+            fallback = False
     ranked = sorted(results, key=lambda r: r["total_sec"])
     out = dict(ranked[0] if pick == "min" else ranked[len(ranked) // 2])
-    if passes > 1:
+    if len(results) > 1:
         out["passes"] = [r["total_sec"] for r in results]
+    if probe_gate is not None:
+        out["pass_probes"] = [
+            [r["probe_before"], r["probe_after"]] for r in results
+        ]
+        out["discarded_passes"] = [
+            {k: r[k] for k in ("total_sec", "lines_per_sec",
+                               "probe_before", "probe_after")}
+            for r in discarded
+        ]
+        out["all_pass_secs"] = sorted(
+            [r["total_sec"] for r in results]
+            + [r["total_sec"] for r in discarded]
+        )
+        out["fallback_unfiltered"] = fallback
+        out["probe_floor"] = round(floor, 2)
     return out
 
 
@@ -282,18 +353,51 @@ def config_matrix(n: int = 20000) -> dict[str, float]:
 
 
 def main():
+    import subprocess
+
     from pysyslog.gen import rows_for_sf
 
     n_rows = rows_for_sf(SF)
     detail: dict = {"sf": SF, "cpus": CPUS}
-    # fresh-box reference at FULL width, taken before any heavy work:
-    # this sandbox throttles high-concurrency work after sustained
-    # load, and an 8-proc probe is blind to it (measured: 8-proc probe
-    # read ABOVE fresh while the 32-way headline still ran 3x slow) —
-    # the recovery check must probe at the headline's own width
-    probe_fresh_wide = cpu_probe(CPUS, units=CPUS * 24)
+    do_heavy = os.environ.get("PSL_BENCH_SCALING", "1") == "1"
+    # Record the raw process-start reading, then SETTLE before taking
+    # the reference "fresh" probe: the invoker (driver) may have just
+    # run heavy work (pytest, oracle checks), and a depressed reference
+    # would mis-calibrate every probe gate below.  The probe runs at
+    # FULL width: this sandbox's throttle is concurrency-dependent
+    # (an 8-proc probe read ABOVE fresh while the 32-way headline
+    # still ran 3x slow), so only a headline-width probe can certify
+    # anything about the headline.
+    detail["probe_at_start"] = cpu_probe(CPUS, units=CPUS * 24)
+    if do_heavy:
+        time.sleep(int(os.environ.get("PSL_BENCH_INITIAL_SETTLE_SEC", "180")))
+    p1 = cpu_probe(CPUS, units=CPUS * 24)
+    time.sleep(20)
+    p2 = cpu_probe(CPUS, units=CPUS * 24)
+    probe_fresh_wide = max(p1, p2, detail["probe_at_start"])
     detail["probe_fresh_wide"] = probe_fresh_wide
-    detail["config_matrix_rows_per_sec_1core"] = config_matrix()
+    detail["probe_fresh_pair"] = [p1, p2]
+
+    # config matrix AFTER the settle, probe-bracketed with one redo
+    # (r3 verdict #3: it ran first on an uncertified box once and the
+    # reference-ordering claim scrambled in the committed artifact)
+    for attempt in range(2):
+        pb = cpu_probe(CPUS, units=CPUS * 24)
+        cm = config_matrix()
+        pa = cpu_probe(CPUS, units=CPUS * 24)
+        window_ok = min(pb, pa) >= 0.8 * probe_fresh_wide
+        detail["config_matrix_rows_per_sec_1core"] = cm
+        detail["config_matrix_probes"] = {
+            "before": pb, "after": pa, "attempt": attempt + 1,
+            "window_ok": window_ok,
+        }
+        if window_ok or not do_heavy:
+            break
+        time.sleep(120)
+    # r3 verdict #6: one-line root-cause evidence for the parse_pri
+    # drift — master-regex cost on the pure PRI+BSD cohort vs the
+    # round-2 minimal shape
+    detail["parse_pri_ab"] = parse_pri_ab()
 
     # bench IO lives on tmpfs when available: the plan under test is
     # CPU/shuffle-bound (a real deployment writes to an object store /
@@ -314,21 +418,26 @@ def main():
         # ratio statistic survives either way, but the raw numbers are
         # only representative when the gate phase runs before the burn.
         scaling = None
-        if os.environ.get("PSL_BENCH_SCALING", "1") == "1":
-            # initial settle: the invoker (driver) may have just run
-            # heavy work (pytest, oracle checks); the gate phase needs
-            # a recovered box for representative raw ratios
-            time.sleep(int(os.environ.get("PSL_BENCH_INITIAL_SETTLE_SEC", "180")))
+        scaling2 = None
+        if do_heavy:
             scaling = run_scaling(tmp, n_rows)
             detail["scaling"] = scaling
+            # SECONDARY window 2->8 (r3 verdict #4): the 1->4 choice is
+            # measured, not shopped — so also report the old window,
+            # with the same probe discipline.  Expect raw ~0.66-0.8
+            # there: local[8] demands ~16+ threads on a ~13-effective-
+            # core box, so its probe-adjusted ratio is the meaningful
+            # one (the probe itself reads ~0.7 at 8 procs).
+            if os.environ.get("PSL_BENCH_SCALE_SECONDARY", "1") == "1":
+                scaling2 = run_scaling(tmp, n_rows, n_small=2, reps=2,
+                                       include_mid=False)
+                detail["scaling_secondary_2to8"] = scaling2
             # ADAPTIVE cooldown: the box recovers from sustained-load
             # throttle on a minutes timescale, and fixed sleeps (120s,
             # 300s) both proved too short — headline passes kept
             # reading 48-69s during recovery vs 14-17s recovered.
             # Poll the FULL-WIDTH raw-CPU probe until it is back to
-            # >=90% of the bench-start reading (bounded at 15 min):
-            # the throttle is concurrency-dependent, so only a probe
-            # as wide as the headline job can certify recovery.
+            # >=90% of the bench-start reading (bounded at 15 min).
             waited = 0
             p = 0.0
             cap = int(os.environ.get("PSL_BENCH_COOLDOWN_CAP_SEC", "900"))
@@ -345,16 +454,31 @@ def main():
             }
 
         spark = make_spark(CPUS)
-        # 5 passes: hypervisor weather on this box moves in multi-
-        # minute waves that no in-VM probe fully predicts; the median
-        # of 5 dilutes a bad opening wave, and the best pass is
-        # reported alongside as the least-interfered observation
-        pipe = pipeline_run(spark, n_rows, os.path.join(tmp, f"c{CPUS}"), passes=5)
+        # 5 kept passes, each bracketed by the full-width probe with
+        # discard/redo (r3 verdict #1: the committed headline median
+        # was taken blind through two certified-bad hypervisor waves
+        # while the scaling reps had discard hygiene — now both do).
+        # The probe runs in a clean subprocess (driver JVM is alive
+        # here); median of kept passes is the headline, best pass
+        # reported alongside as the least-interfered observation.
+        gate = None
+        if do_heavy:
+            gate = {
+                "probe": lambda: cpu_probe_isolated(CPUS, CPUS * 24),
+                "fresh": probe_fresh_wide,
+                "threshold": 0.75,
+                "max_redos": 4,
+                "recover_cap_sec": 300,
+            }
+        pipe = pipeline_run(spark, n_rows, os.path.join(tmp, f"c{CPUS}"),
+                            passes=5, probe_gate=gate)
         queries = run_queries(spark)
         queries["syslog_e2e_pipeline"] = pipe["total_sec"]
         spark.stop()
 
         detail["pipeline"] = pipe
+        all_secs = pipe.get("all_pass_secs") or pipe.get(
+            "passes", [pipe["total_sec"]])
         result: dict = {
             "metric": (
                 "syslog end-to-end wall seconds for "
@@ -366,11 +490,13 @@ def main():
             "sf": SF,
             "cpus": CPUS,
             "throughput_lines_per_sec": pipe["lines_per_sec"],
-            "throughput_best_pass": round(
-                pipe["rows"] / min(pipe.get("passes", [pipe["total_sec"]])), 1
-            ),
+            "throughput_best_pass": round(pipe["rows"] / min(all_secs), 1),
             "queries": queries,
         }
+        if gate is not None:
+            result["headline_passes_kept"] = len(pipe.get("passes", [1]))
+            result["headline_passes_discarded"] = len(
+                pipe.get("discarded_passes", []))
 
         if scaling is not None:
             # headline scaling keys only — the full per-rep evidence
@@ -385,20 +511,55 @@ def main():
                     "ceiling_adjusted_efficiency_n_to_4n",
                 )
             }
+        if scaling2 is not None:
+            result["scaling_2to8"] = {
+                k: scaling2[k]
+                for k in (
+                    "n", "reps_used", "reps_discarded",
+                    "throughput_n", "throughput_4n", "efficiency_n_to_4n",
+                    "cpu_ceiling_probe_efficiency_n_to_4n",
+                    "ceiling_adjusted_efficiency_n_to_4n",
+                )
+            }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    # sidecar carries everything (config matrix, per-rep scaling detail,
-    # per-level pass times); stdout stays ONE compact line — round 2's
-    # full dump (~2.8 KB) overflowed the driver's stdout-tail capture
-    # and the headline number became machine-unreadable.  (result's
-    # compact "scaling" must NOT clobber the full one already in detail)
-    detail.update({k: v for k, v in result.items() if k not in detail})
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as fh:
-        json.dump(detail, fh, indent=1, sort_keys=True)
+    # stdout stays ONE compact line (driver contract; round 2's full
+    # dump overflowed the capture).  Never abort after the work is
+    # done: if the line outgrows the limit, shed the least essential
+    # keys and note it in the sidecar (ADVICE r3).
     line = json.dumps(result)
-    assert len(line) < 2000, f"stdout JSON too long ({len(line)}B) for driver capture"
+    dropped = []
+    for k in ("queries", "scaling_2to8", "headline_passes_kept",
+              "headline_passes_discarded"):
+        if len(line) < 1900:
+            break
+        if k in result:
+            dropped.append(k)
+            del result[k]
+            line = json.dumps(result)
+    if dropped:
+        detail["stdout_dropped_keys"] = dropped
+
+    # sidecar carries everything (config matrix, per-rep scaling
+    # detail, per-level pass times).  result's compact "scaling" must
+    # NOT clobber the full one already in detail.
+    detail.update({k: v for k, v in result.items() if k not in detail})
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    # regenerate the BASELINE.md measured-results block from the
+    # artifact just written, so a driver re-run can never strand the
+    # prose (r3 verdict #2); best-effort — prose must never break the
+    # stdout contract
+    try:
+        subprocess.run(
+            [sys.executable, os.path.join(here, "scripts",
+                                          "update_baseline_prose.py")],
+            check=True, capture_output=True, timeout=120,
+        )
+    except Exception:
+        pass
     print(line)
 
 
@@ -434,7 +595,65 @@ def cpu_probe(procs: int, units: int | None = None) -> float:
     return round(units / dt, 2)
 
 
-def run_scaling(tmp: str, n_rows: int) -> dict:
+def cpu_probe_isolated(procs: int, units: int | None = None) -> float:
+    """cpu_probe in a fresh subprocess — used for the headline pass
+    gate, which probes while the driver JVM is alive in this process
+    (forking a pool under a live JVM is fragile; a clean child
+    process is not)."""
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--probe",
+         str(procs), str(units if units is not None else 64 * procs)],
+        check=True, capture_output=True, text=True,
+    )
+    return float(r.stdout.strip().splitlines()[-1])
+
+
+def parse_pri_ab(n: int = 20000) -> dict:
+    """r3-verdict item #6: did the widened master regex tax the
+    simplest cohort (parse_pri drifted 2.02→2.58s in the r3 driver
+    artifact)?  Times the regex step alone — full current master vs a
+    minimal clean-BSD-only matcher (the round-2 shape, kept here
+    purely as a measurement yardstick) — on the pure PRI+BSD cohort,
+    µs/row best-of-3 each."""
+    import re
+
+    import numpy as np
+
+    from pysyslog.gen import GEN_NOW_EPOCH, synth_lines
+    from pysyslog.options import ParserOptions
+    from pysyslog.parser import _fast_regex
+
+    lines, srcs = synth_lines(np.arange(n * 4))
+    cohort = [l for l, s in zip(lines, srcs) if s == "bsd_sshd"][:n]
+    full = _fast_regex(ParserOptions(now_epoch=GEN_NOW_EPOCH))
+    minimal = re.compile(
+        r"^(?:<(\d{1,3})>)?([A-Z][a-z]{2}\s+\d{1,2}\s+\d{2}:\d{2}:\d{2})"
+        r"\s([^\s:]+)\s"
+        r"(([A-Za-z][A-Za-z0-9._/-]+)(?:\[([^\]:()]+)\])?):\s+(.*)$"
+    )
+    missed = sum(1 for s in cohort if minimal.match(s) is None)
+    if missed:  # yardstick must cover the cohort or the A/B is void
+        return {"error": f"minimal regex missed {missed}/{len(cohort)}"}
+    out = {}
+    for name, rx in (("master_full", full), ("minimal_r2_shape", minimal)):
+        m = rx.match
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            for s in cohort:
+                m(s).groups()
+            best = min(best, time.time() - t0)
+        out[name + "_us_per_row"] = round(best * 1e6 / len(cohort), 3)
+    out["ratio"] = round(
+        out["master_full_us_per_row"] / out["minimal_r2_shape_us_per_row"], 3
+    )
+    return out
+
+
+def run_scaling(tmp: str, n_rows: int, n_small: int | None = None,
+                reps: int | None = None, include_mid: bool = True) -> dict:
     """Two-cluster-size scaling evidence (north rule: >=0.8 efficiency
     from N to 4N).  Each parallelism level runs in a FRESH python+JVM
     process (JIT warmth must not leak between levels).  The N and 4N
@@ -467,14 +686,17 @@ def run_scaling(tmp: str, n_rows: int) -> dict:
     statistic; the mid level (2N) is reported for monotonicity."""
     import subprocess
 
-    n_small = int(os.environ.get("PSL_BENCH_SCALE_N", "1"))
+    if n_small is None:
+        n_small = int(os.environ.get("PSL_BENCH_SCALE_N", "1"))
     # the scaling input reuses the headline corpus size by default
     # (SAME input at every level); with N=1 the small level already
     # runs minutes-long stages, so fixed per-job costs (scheduling,
     # commit barriers) are <5% of the ratio without inflating rows
     scale_rows = n_rows * int(os.environ.get("PSL_BENCH_SCALE_ROWS_MULT", "1"))
-    levels = sorted({n_small, n_small * 2, n_small * 4})
-    reps = int(os.environ.get("PSL_BENCH_SCALE_REPS", "3"))
+    levels = sorted({n_small, n_small * 2, n_small * 4} if include_mid
+                    else {n_small, n_small * 4})
+    if reps is None:
+        reps = int(os.environ.get("PSL_BENCH_SCALE_REPS", "3"))
     passes = int(os.environ.get("PSL_BENCH_SCALE_PASSES", "2"))
     settle = int(os.environ.get("PSL_BENCH_SCALE_SETTLE_SEC", "90"))
     corpus_dir = os.path.join(tmp, "scale_corpus")
@@ -542,15 +764,33 @@ def run_scaling(tmp: str, n_rows: int) -> dict:
                 "attempt": attempts, "probe_lo": p_lo, "probe_hi": p_hi,
                 "probe_eff_raw": round(probe_eff_raw, 3),
                 "ratio": round(ratio_raw, 3),
+                # keep the raw runs too: if EVERY attempt lands in a
+                # bad window the fallback below still has data to
+                # report instead of crashing after minutes of settles
+                # (ADVICE r3)
+                "r_lo": r_lo, "r_hi": r_hi,
             })
             continue
         runs[n_small].append(r_lo)
         runs[n_small * 4].append(r_hi)
         probe_lo.append(p_lo)
         probe_hi.append(p_hi)
-        if len(runs[n_small * 2]) == 0:
+        if include_mid and len(runs[n_small * 2]) == 0:
             time.sleep(settle)
             runs[n_small * 2].append(_invoke(n_small * 2, attempts))
+    fallback_unfiltered = False
+    if not runs[n_small]:
+        # every attempt was probe-discarded (deeply throttled box):
+        # fall back to the unfiltered reps, flagged — evidence either
+        # way beats an IndexError after 20 minutes of settling
+        fallback_unfiltered = True
+        for d in discarded:
+            runs[n_small].append(d["r_lo"])
+            runs[n_small * 4].append(d["r_hi"])
+            probe_lo.append(d["probe_lo"])
+            probe_hi.append(d["probe_hi"])
+    if include_mid and not runs[n_small * 2]:
+        runs[n_small * 2].append(_invoke(n_small * 2, 0))
     per_level: dict = {}
     for cpus in levels:
         rs = sorted(runs[cpus], key=lambda r: r["total_sec"])
@@ -563,7 +803,7 @@ def run_scaling(tmp: str, n_rows: int) -> dict:
         return s[len(s) // 2]
 
     lo = per_level[n_small]["lines_per_sec"]
-    mid = per_level[n_small * 2]["lines_per_sec"]
+    mid = (per_level[n_small * 2]["lines_per_sec"] if include_mid else None)
     hi = per_level[n_small * 4]["lines_per_sec"]
     probe_effs = [min(h / l / 4.0, 1.0) for l, h in zip(probe_lo, probe_hi)]
     probe_eff = round(_median(probe_effs), 3)
@@ -603,11 +843,13 @@ def run_scaling(tmp: str, n_rows: int) -> dict:
         "throughput_n": lo,
         "throughput_2n": mid,
         "throughput_4n": hi,
+        "fallback_unfiltered": fallback_unfiltered,
         "efficiency_n_to_4n": eff,
         "efficiency_n_to_4n_all_paired": [round(x, 3) for x in paired],
         "efficiency_n_to_4n_best_pass": eff_best,
         "efficiency_n_to_4n_of_medians": round(hi / lo / 4.0, 3),
-        "efficiency_2n_to_4n": round(hi / mid / 2.0, 3),
+        "efficiency_2n_to_4n": (round(hi / mid / 2.0, 3) if include_mid
+                                else None),
         "cpu_ceiling_probe_units_per_sec": {
             str(n_small): _median(probe_lo), str(n_small * 4): _median(probe_hi),
         },
@@ -661,5 +903,8 @@ if __name__ == "__main__":
         _scale_worker(sys.argv[2:])
     elif len(sys.argv) > 1 and sys.argv[1] == "--gen-corpus":
         _gen_corpus(sys.argv[2:])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--probe":
+        print(cpu_probe(int(sys.argv[2]),
+                        int(sys.argv[3]) if len(sys.argv) > 3 else None))
     else:
         main()
