@@ -160,7 +160,11 @@ def _fast_regex(options: ParserOptions):
     whole rest-of-line as content (the state machine skips its program
     stage then, so "no program" must be the CHEAPER preset, as it is in
     the reference's benchmark matrix — not a fast-path opt-out)."""
-    if not options.date_parsing or options.fmt_date is not None:
+    # FmtDate is a per-row user hook — slow path only.  DateParsing=0
+    # stays fast: the regex consumes the identical datetime text and
+    # _fast_cols simply skips the derivation stage, mirroring the
+    # state machine's `if opts.date_parsing` gate.
+    if options.date_parsing and options.fmt_date is not None:
         return None
     # Content may contain anything a later stage only ADDS from or
     # REWRITES through a SHARED stage body: the JSON / K/V detectors
@@ -530,14 +534,11 @@ def _iso_dt_tuples(parser, comps, yrs):
     return out
 
 
-def _fast_cols(parser, raw_list, ext: pd.DataFrame, options,
-               field_names) -> dict:
-    """Column lists for fast-path rows.  Single-pass list assembly —
-    no per-field pandas .map (each would cost a Python call per row)."""
-    n = len(ext)
-    cols: dict[str, list] = {f: [None] * n for f in field_names}
-    dt_list = ext.col("dt")
-    yr_list = ext.col("yr")
+def _derive_dt_columns(parser, ext, dt_list, yr_list):
+    """The datetime-derivation stage of the fast path: the 8 derived
+    column lists (epoch, the three rendered strings, tz, date, time,
+    epoch_us) for the batch.  Skipped entirely when DateParsing=0."""
+    n = len(dt_list)
     bsd_mask = [s[0].isalpha() for s in dt_list]
     vec_ok = parser.local_offset_min == 0 and parser._tm_render is None
     if vec_ok:
@@ -592,9 +593,23 @@ def _fast_cols(parser, raw_list, ext: pd.DataFrame, options,
                     _epoch_us(d["epoch"]),
                 )
             tups.append(t)
-    (cols["epoch"], cols["datetime_utc"], cols["datetime_local"],
-     cols["datetime_str"], cols["tz"], cols["date"], cols["time"],
-     cols["epoch_us"]) = (list(t) for t in zip(*tups))
+    return (list(t) for t in zip(*tups))
+
+
+def _fast_cols(parser, raw_list, ext: pd.DataFrame, options,
+               field_names) -> dict:
+    """Column lists for fast-path rows.  Single-pass list assembly —
+    no per-field pandas .map (each would cost a Python call per row)."""
+    n = len(ext)
+    cols: dict[str, list] = {f: [None] * n for f in field_names}
+    dt_list = ext.col("dt")
+    yr_list = ext.col("yr")
+    if options.date_parsing:
+        (cols["epoch"], cols["datetime_utc"], cols["datetime_local"],
+         cols["datetime_str"], cols["tz"], cols["date"], cols["time"],
+         cols["epoch_us"]) = _derive_dt_columns(parser, ext, dt_list, yr_list)
+    # else: the dt-derived fields stay None — ⇔ the state machine's
+    # `if opts.date_parsing` gate (datetime_raw below is set either way)
     cols["message_raw"] = raw_list
     # the state machine renders year-prefixed datetime_raw as
     # "Mmm d HH:MM:SS yyyy" (parser_core parse: g[1] + ' ' + g[0])

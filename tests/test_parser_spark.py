@@ -214,6 +214,9 @@ def test_fast_path_equals_slow_on_mixed_corpus():
         ParserOptions(now_epoch=GEN_NOW_EPOCH, rfc5424_strict=True,
                       extract_program=False, auto_detect_key_values=True),
         ParserOptions(now_epoch=GEN_NOW_EPOCH, rfc5424_structured_data=False),
+        ParserOptions(now_epoch=GEN_NOW_EPOCH, date_parsing=False),
+        ParserOptions(now_epoch=GEN_NOW_EPOCH, date_parsing=False,
+                      extract_program=False),
     ]
     raw = pd.Series(lines, dtype=object)
     for opts in option_sets:

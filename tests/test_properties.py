@@ -223,6 +223,7 @@ def _eq_option_sets():
             base.with_(rfc5424_strict=True),
             base.with_(extract_program=False, auto_detect_key_values=True),
             base.with_(prune_raw=True, prune_empty=True),
+            base.with_(date_parsing=False),
         ]
     return _EQ_OPTION_SETS
 
@@ -237,7 +238,7 @@ def _eq_option_sets():
         ),
         min_size=1, max_size=24,
     ),
-    st.integers(0, 4),
+    st.integers(0, 5),
 )
 @settings(max_examples=120, deadline=None)
 def test_fast_path_equals_slow_property(frags, opt_i):
