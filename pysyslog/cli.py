@@ -9,6 +9,9 @@ yaml).  Mapping here:
   reference's while(<>) loop, parse-syslog-line.pl:96-106);
 * file mode: a Spark job — spark.read.text → the vectorized parse UDF
   → json/parquet sink (the distributed form of the same pipeline).
+  Without --output the records stream to stdout via toLocalIterator —
+  fine interactively, but at scale ALWAYS pass --output: the iterator
+  funnels every partition through the driver one at a time.
 
 Flags mirror the reference's (parse-syslog-line.pl:29-51).
 """
