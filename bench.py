@@ -429,7 +429,7 @@ def main():
             # core box, so its probe-adjusted ratio is the meaningful
             # one (the probe itself reads ~0.7 at 8 procs).
             if os.environ.get("PSL_BENCH_SCALE_SECONDARY", "1") == "1":
-                scaling2 = run_scaling(tmp, n_rows, n_small=2, reps=2,
+                scaling2 = run_scaling(tmp, n_rows, n_small=2, reps=3,
                                        include_mid=False)
                 detail["scaling_secondary_2to8"] = scaling2
             # ADAPTIVE cooldown: the box recovers from sustained-load
@@ -799,8 +799,12 @@ def run_scaling(tmp: str, n_rows: int, n_small: int | None = None,
         per_level[cpus] = med
 
     def _median(xs):
+        # true median: even-length lists average the middle pair — the
+        # old upper-median read the BETTER of 2 reps as "the" ratio,
+        # which a skeptic would rightly call cherry-picking
         s = sorted(xs)
-        return s[len(s) // 2]
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
 
     lo = per_level[n_small]["lines_per_sec"]
     mid = (per_level[n_small * 2]["lines_per_sec"] if include_mid else None)
