@@ -283,8 +283,29 @@ def q_parse_relay(spark, sf_dir):
     )
     p = parse_syslog(ev.select("event_id", line.alias("raw")), "raw", OPTS)
     return p.select(
-        "event_id", "origin", "origin_date", "host", "program_name",
-        "datetime_raw", "content",
+        "event_id", "version", "origin", "origin_date", "host",
+        "program_name", "datetime_raw", "content",
+    )
+
+
+def q_parse_hyphen_program(spark, sf_dir):
+    """RFC5424-ish ' -' program separator (⇔ Line.pm:878 RE_PROGRAM's
+    (:|\\s-) alternative): the tag splits from content at the
+    rightmost ws-hyphen-ws when no colon exists, message keeps the
+    matched separator, and the trailing [sdid k="v"] group is spliced
+    into SDATA by the loose stage."""
+    ev = _read(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("<165>1 2023-06-01T12:00:00Z "), _h9(),
+        F.lit(" APP-"), (F.col("event_id") % 7).cast("string"),
+        F.lit(" - EVENT_"), (F.col("event_id") % 5).cast("string"),
+        F.lit(' [exampleSDID@32473 iut="'),
+        (F.col("event_id") % 10).cast("string"), F.lit('"]'),
+    )
+    p = parse_syslog(ev.select("event_id", line.alias("raw")), "raw", OPTS)
+    return p.select(
+        "event_id", "version", "program_name", "content", "message",
+        "sdata_json",
     )
 
 
@@ -707,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_cisco_ntp": q_parse_cisco_ntp,
         "parse_netapp": q_parse_netapp,
         "parse_relay": q_parse_relay,
+        "parse_hyphen_program": q_parse_hyphen_program,
         "parse_bsd_year": q_parse_bsd_year,
         "parse_prune": q_parse_prune,
         "parse_guard": q_parse_guard,
@@ -1234,6 +1256,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "parse_relay": """
             SELECT event_id,
+                   1::int AS version,
                    'relay' || (event_id % 20)::varchar AS origin,
                    '2023-06-01T12:00:05.'
                        || lpad((event_id % 1000)::varchar, 3, '0')
@@ -1242,6 +1265,19 @@ def oracle_sql() -> dict[str, str]:
                    'app' AS program_name,
                    '2023-06-01T12:00:00+00:00' AS datetime_raw,
                    'alert ' || event_id::varchar AS content
+            FROM events
+        """,
+        "parse_hyphen_program": """
+            SELECT event_id,
+                   1::int AS version,
+                   'APP-' || (event_id % 7)::varchar AS program_name,
+                   'EVENT_' || (event_id % 5)::varchar AS content,
+                   'APP-' || (event_id % 7)::varchar
+                       || ' - EVENT_' || (event_id % 5)::varchar
+                       || ' [exampleSDID@32473 iut="'
+                       || (event_id % 10)::varchar || '"]' AS message,
+                   '{"exampleSDID@32473":{"iut":"'
+                       || (event_id % 10)::varchar || '"}}' AS sdata_json
             FROM events
         """,
         "parse_bsd_year": """
