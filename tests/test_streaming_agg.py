@@ -124,3 +124,53 @@ def test_reassembly_timeout_keeps_record_counter():
     st.update(("", 4))
     assert list(fn(("s1",), [], st)) == []
     assert st.removed
+
+
+def test_streaming_reassembly_real_stream(spark, tmp_path):
+    """reassemble_stream through a REAL Structured Streaming query
+    (file source → applyInPandasWithState → memory sink), not just the
+    mock-GroupState transition tests below: completed records emit in
+    per-source order, and the availableNow termination batch fires the
+    processing-time timeout, flushing each source's pending buffer —
+    exactly the reference's final no-arg drain (Line.pm:1062-1065)."""
+    from pysyslog.streaming import reassemble_stream
+
+    src = tmp_path / "rin"
+    src.mkdir()
+    rows = [
+        {"source": "s1", "line_no": 1, "line": "May 19 22:03:29 h a: first"},
+        {"source": "s1", "line_no": 2, "line": "  continuation one"},
+        {"source": "s1", "line_no": 3, "line": "May 19 22:03:30 h a: second"},
+        {"source": "s2", "line_no": 1, "line": "May 19 22:03:31 h b: other"},
+        {"source": "s2", "line_no": 2, "line": "May 19 22:03:32 h b: tail"},
+    ]
+    with open(src / "b0.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema(
+        "source string, line_no long, line string"
+    ).json(str(src))
+    # short timers: the availableNow query stays alive until every
+    # pending processing-time timeout fires (flush, then the re-armed
+    # empty-buffer removal), so second-scale timers bound the test
+    rec = reassemble_stream(stream, timeout_ms=2_000)
+    q = (
+        rec.writeStream.format("memory")
+        .queryName("reasm_multi")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "rck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = {(r["source"], r["record_no"]): r["raw"]
+           for r in spark.sql("select * from reasm_multi").collect()}
+    assert got == {
+        ("s1", 1): "May 19 22:03:29 h a: first\n  continuation one",
+        ("s1", 2): "May 19 22:03:30 h a: second",   # timeout-flushed
+        ("s2", 1): "May 19 22:03:31 h b: other",
+        ("s2", 2): "May 19 22:03:32 h b: tail",     # timeout-flushed
+    }
