@@ -77,6 +77,14 @@ def make_spark(cpus: int):
         # full-corpus repartition shuffle
         .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
         .config("spark.sql.adaptive.enabled", "true")
+        # let AQE coalesce the OUTPUT partitioning of cached plans too
+        # (off by default): pipeline_counts persists a ~sinks×hours-row
+        # aggregate that otherwise keeps all shuffle.partitions
+        # partitions, so every downstream agg over the tiny cache
+        # schedules cpus*4 near-empty tasks twice — measured 3.9s →
+        # 0.65s for the sink-totals rollup at bench scale
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "16g")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
@@ -546,20 +554,30 @@ def main():
     # NOT clobber the full one already in detail.
     detail.update({k: v for k, v in result.items() if k not in detail})
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+    # the committed sidecar + BASELINE.md prose are HEADLINE-SCALE
+    # evidence (sf0.1 @ 32 cpus, the driver config).  A smoke run at
+    # another SF/cpu level (e.g. the verify recipe's sf0.01 local[8])
+    # must not clobber them — it lands in a _smoke sidecar instead.
+    # PSL_BENCH_WRITE_ARTIFACT=1/0 overrides either way.
+    headline_cfg = abs(SF - 0.1) < 1e-9 and CPUS == 32
+    write_artifact = os.environ.get(
+        "PSL_BENCH_WRITE_ARTIFACT", "1" if headline_cfg else "0") == "1"
+    sidecar = "BENCH_DETAIL.json" if write_artifact else "BENCH_DETAIL_smoke.json"
+    with open(os.path.join(here, sidecar), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     # regenerate the BASELINE.md measured-results block from the
     # artifact just written, so a driver re-run can never strand the
     # prose (r3 verdict #2); best-effort — prose must never break the
     # stdout contract
-    try:
-        subprocess.run(
-            [sys.executable, os.path.join(here, "scripts",
-                                          "update_baseline_prose.py")],
-            check=True, capture_output=True, timeout=120,
-        )
-    except Exception:
-        pass
+    if write_artifact:
+        try:
+            subprocess.run(
+                [sys.executable, os.path.join(here, "scripts",
+                                              "update_baseline_prose.py")],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            pass
     print(line)
 
 

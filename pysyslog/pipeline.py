@@ -144,7 +144,15 @@ def main(argv=None):
                     help="local[] threads (default: existing session / local[*])")
     args = ap.parse_args(argv)
 
-    builder = SparkSession.builder.appName("pysyslog-pipeline")
+    builder = (
+        SparkSession.builder.appName("pysyslog-pipeline")
+        # the persisted pipeline_counts base is tiny (≤ sinks × hours
+        # rows); without this AQE leaves it at shuffle.partitions
+        # partitions and every derived view pays a near-empty task
+        # storm (see bench.make_spark)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
+    )
     if args.cpus:
         builder = builder.master(f"local[{args.cpus}]")
     spark = builder.getOrCreate()
