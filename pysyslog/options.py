@@ -64,6 +64,12 @@ class ParserOptions:
 
 # Perl-global-name -> dataclass-field mapping, so fixture `options:`
 # blocks (t/data/*.yaml) and CLI flags can be applied directly.
+# The reference's four DEPRECATED globals (Line.pm:40-44 —
+# DateTimeCreate, HiResFmt, OutputTimeZone, NormalizeToUTC) are
+# declared there but never read by the parse flow (POD :504-514 points
+# users at TimeMomentFormatString / datetime_utc); they are
+# intentionally absent here, and options_from_perl ignores them exactly
+# as the reference does.
 PERL_OPTION_NAMES = {
     "DateParsing": "date_parsing",
     "EpochCreate": "epoch_create",
