@@ -370,6 +370,62 @@ def config_matrix(n: int = 20000) -> dict[str, float]:
     return out
 
 
+def date_cohort_matrix(n: int = 20000) -> dict[str, float]:
+    """Single-thread parse throughput split by datetime shape — the
+    reference's OTHER committed bench dimension (benchmarks/
+    01-parse.pl:19-29,76-88 splits its corpus into iso / legacy /
+    mixed by `datetime_raw` shape and cmpthese's them; BASELINE.md
+    table row 3).  Default options, median of 3 fresh-parser passes
+    per cohort, exactly like config_matrix."""
+    import statistics
+
+    import numpy as np
+    import pandas as pd
+
+    from pysyslog.gen import GEN_NOW_EPOCH, synth_lines
+    from pysyslog.options import ParserOptions
+    from pysyslog.parser import (
+        FIELD_NAMES,
+        _INT_FIELDS,
+        _fast_regex,
+        _parse_batch,
+    )
+    from pysyslog.parser_core import SyslogParser
+
+    opts = ParserOptions(now_epoch=GEN_NOW_EPOCH)
+    # ISO cohort = ISO8601-timestamped sources (incl. RFC5424 header);
+    # legacy = BSD "Mon dd HH:MM:SS" sources; mixed = the full
+    # generator mix (⇔ 01-parse.pl's iso/legacy/mixed corpora)
+    iso_srcs = {"iso_micro", "iso_json", "rfc5424_sd"}
+    lines, sources = synth_lines(np.arange(n * 4))
+    cohorts = {
+        "iso": [l for l, s in zip(lines, sources) if s in iso_srcs][:n],
+        "legacy": [l for l, s in zip(lines, sources)
+                   if s.startswith("bsd_")][:n],
+        "mixed": lines[:n],
+    }
+    plain = [
+        f for f in FIELD_NAMES
+        if f not in _INT_FIELDS
+        and f not in ("epoch_us", "sdata", "sdata_json", "parsed_json")
+    ]
+    rx = _fast_regex(opts)
+    out = {}
+    for name, cohort_lines in cohorts.items():
+        m = len(cohort_lines)
+        raw = pd.Series(cohort_lines, dtype=object)
+        _parse_batch(SyslogParser(opts), raw[:2000], opts, FIELD_NAMES,
+                     plain, False, rx)
+        rates = []
+        for _ in range(3):
+            p = SyslogParser(opts)
+            t0 = time.time()
+            _parse_batch(p, raw, opts, FIELD_NAMES, plain, False, rx)
+            rates.append(m / (time.time() - t0))
+        out[name] = round(statistics.median(rates), 1)
+    return out
+
+
 def main():
     import subprocess
 
@@ -402,9 +458,11 @@ def main():
     for attempt in range(2):
         pb = cpu_probe(CPUS, units=CPUS * 24)
         cm = config_matrix()
+        dm = date_cohort_matrix()
         pa = cpu_probe(CPUS, units=CPUS * 24)
         window_ok = min(pb, pa) >= 0.8 * probe_fresh_wide
         detail["config_matrix_rows_per_sec_1core"] = cm
+        detail["date_cohort_rows_per_sec_1core"] = dm
         detail["config_matrix_probes"] = {
             "before": pb, "after": pa, "attempt": attempt + 1,
             "window_ok": window_ok,

@@ -102,6 +102,14 @@ def render(detail: dict) -> str:
             f"- **Config matrix (1-core rows/s)**: {ordered}."
             f"  Window probes {cmp_.get('before')}/{cmp_.get('after')}"
             f" (ok={cmp_.get('window_ok')}, attempt {cmp_.get('attempt')}).")
+    dm = detail.get("date_cohort_rows_per_sec_1core")
+    if dm:
+        lines.append(
+            "- **Date-cohort matrix (1-core rows/s, defaults — ⇔ "
+            "benchmarks/01-parse.pl iso/legacy/mixed)**: "
+            + ", ".join(f"{k} {dm[k]:,.0f}" for k in ("iso", "legacy",
+                                                      "mixed") if k in dm)
+            + " (same probe window as the config matrix).")
     ab = detail.get("parse_pri_ab")
     if ab:
         lines.append(
