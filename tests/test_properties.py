@@ -190,7 +190,8 @@ _FRAG_DT = [
     "2018-06-01T12:34:56.123456+02:00", "2018-06-01 12:34:56",
     "2018-06-01T12:34:56+05", "2018-13-40T99:99:99Z",
 ]
-_FRAG_HOST = ["host1 ", "host1.dom.example ", "10.1.2.3 ", "box1.2.3.4 ", ""]
+_FRAG_HOST = ["host1 ", "host1.dom.example ", "host1. ", "10.1.2.3 ",
+              "box1.2.3.4 ", ""]
 _FRAG_RELAY = [
     "", "1 2018-06-01T11:59:59Z relay1 ", "2018-06-01T11:59:59.042Z origin2 ",
     "7 2018-06-01T11:59:59+05:30 r3 ", "2018-06-01T11:59:59Zx bad ",
@@ -200,7 +201,7 @@ _FRAG_CISCO = ["", "123: *Jun  1 12:00:01: ", "42: .Jun  1 12:00:02: ", "9: ", "
 _FRAG_PROG = [
     "app: ", "app[7]: ", "app - ", "app -", "sshd[a b]: ", "app[1:2]: ",
     "/usr/sbin/cron[9]: ", "/x[a b]: ", "[n1 raid.disk:notice]: ",
-    "err: ", "err - ", "a/b: ", "%SYS-5-X: ", "two words: ", "",
+    "err: ", "err - ", "a/b: ", "a/: ", "%SYS-5-X: ", "two words: ", "",
 ]
 _FRAG_CONTENT = [
     "hello world", "x [k=v] y", "[job@5 id=1 queue=q2] done [retry count=3]",

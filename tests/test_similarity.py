@@ -101,7 +101,9 @@ def test_embedding_near_dup_pairs(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     pairs = {
         (r["id_a"], r["id_b"]): r["cos_sim"]
-        for r in embedding_near_dup_pairs(df, threshold=0.99, dim=DIM, n_planes=8).collect()
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.99, dim=DIM, n_bands=4, rows_per_band=4
+        ).collect()
     }
     assert (0, 50) in pairs and pairs[(0, 50)] > 0.999
 

@@ -69,6 +69,38 @@ def test_rolling_hash_deterministic(spark):
     assert out[0] != out[2]
 
 
+def test_rolling_hash_exact_values():
+    """Exact closed-form values through the batch kernel — guards the
+    numpy Mersenne-split math AND the Int64-setitem path (a plain
+    pandas setitem of Python ints coerces through float64 and rounds
+    hashes above 2^53; caught on the short-row branch in r5)."""
+    import pandas as pd
+
+    window, mod, base = 8, (1 << 61) - 1, 257
+
+    def closed(s):
+        if len(s) < window:
+            h = 0
+            for c in s:
+                h = (h * base + ord(c)) % mod
+            return h
+        return min(
+            sum(ord(s[i + j]) * pow(base, window - 1 - j, mod)
+                for j in range(window)) % mod
+            for i in range(len(s) - window + 1)
+        )
+
+    inner = rolling_hash_udf().func
+    texts = ["", "ab", "a" * 7, "a" * 8, None, "日本語テスト1234567890",
+             "x" * 9, "The quick brown fox jumps over the lazy dog"]
+    got = inner(pd.Series(texts, dtype=object)).tolist()
+    for t, g in zip(texts, got):
+        if t is None:
+            assert pd.isna(g)
+        else:
+            assert int(g) == closed(t), t
+
+
 def test_multimodal_feature_extraction_fake(spark):
     rows = [
         ("m1", "image", bytearray(b"\x89PNG fake"), "image/png", 8, 8, None),
