@@ -8,6 +8,19 @@ per-query seconds for the other engine operators on the sf-dir tables.
 Env:
   SPARK_GRAFT_SF_DIR   table dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] threads (default 32)
+  PSL_BENCH_BUDGET_SEC wall-clock budget for the WHOLE bench (default
+                       1500).  Checked between phases; when behind, work
+                       is shed in this declared order: secondary 2->8
+                       scaling -> cooldown cap -> headline redo budget ->
+                       headline passes 5->3 -> scaling reps 3->2 ->
+                       per-query rounds 3->2->1.  Every shed is recorded
+                       in BENCH_DETAIL under "budget" (no silent caps).
+                       SIGTERM/SIGALRM are trapped: the compact JSON
+                       line is emitted with whatever phases completed
+                       plus "partial": true — the bench never exits
+                       silent (r4: the driver's timeout SIGKILLed it
+                       mid-headline after the sleeps were already paid,
+                       and BENCH_r04.json recorded rc=124/parsed:null)
   PSL_BENCH_SCALING    default 1: also run the pipeline at local[N] vs
                        local[4N] in fresh processes (two-cluster-size
                        proxy) and report efficiency; set 0 to skip
@@ -23,13 +36,19 @@ Env:
   PSL_BENCH_SCALE_ROWS_MULT  scaling corpus = headline rows x this
                        (default 1; raise to amortize fixed per-job
                        cost when N is large enough to finish quickly)
-  PSL_BENCH_SCALE_SETTLE_SEC settle sleep between level runs (default
-                       90 — the box needs minutes, not seconds, to
-                       shed sustained-load throttle between runs)
-  PSL_BENCH_INITIAL_SETTLE_SEC sleep before the fresh-probe/config-
-                       matrix/scaling phases (default 180)
+  PSL_BENCH_SCALE_SETTLE_SEC CAP on the probe-driven settle between
+                       level runs (default 90; the settle polls the
+                       full-width probe and exits as soon as the
+                       sustained-load throttle has lifted — ~2s on a
+                       rested box, the cap only on a hot one)
+  PSL_BENCH_INITIAL_SETTLE_SEC CAP on the probe-driven settle before
+                       the fresh-probe/config-matrix/scaling phases
+                       (default 180; anchored on the committed
+                       sidecar's probe_fresh_wide)
   PSL_BENCH_COOLDOWN_CAP_SEC cap on the adaptive probe-until-recovered
-                       cooldown between scaling and headline (default 900)
+                       cooldown between scaling and headline (default
+                       900; additionally bounded by the budget after
+                       reserving the headline+queries tail)
   PSL_BENCH_SCALE_SECONDARY default 1: also run the legacy 2->8 window
                        (2 reps, no mid level) as secondary scaling
                        evidence; set 0 to skip
@@ -56,6 +75,185 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+
+# ---- wall-clock budget + never-silent emission (r4 verdict #1) ----
+T0 = time.time()
+BUDGET = int(os.environ.get("PSL_BENCH_BUDGET_SEC", "1500"))
+# progressively populated as phases complete, so a partial emit (budget
+# signal, driver SIGTERM) always carries everything finished so far
+RESULT: dict = {}
+DETAIL: dict = {}
+_EMITTED = {"done": False}
+_MAIN_PID = os.getpid()
+
+
+def elapsed() -> float:
+    return time.time() - T0
+
+
+def remaining() -> float:
+    return BUDGET - elapsed()
+
+
+def _shed(what: str, **kw):
+    """Record a budget-shedding decision — no silent caps."""
+    entry = {"what": what, "at_sec": round(elapsed(), 1), **kw}
+    DETAIL.setdefault("budget", {}).setdefault("shed", []).append(entry)
+
+
+def _phase_done(name: str, t_start: float):
+    DETAIL.setdefault("budget", {}).setdefault("phase_sec", {})[name] = round(
+        time.time() - t_start, 1)
+
+
+def emit_final(partial: bool = False, reason: str | None = None,
+               from_signal: bool = False):
+    """Write the sidecar and print the ONE compact stdout line (driver
+    contract).  Idempotent; safe to call from a signal handler — the
+    r4 failure mode was a SIGKILL landing after all the sleeps were
+    paid but before anything was printed (BENCH_r04.json: rc=124,
+    parsed:null), so every phase now lands its results in RESULT/DETAIL
+    as it completes and this function can fire at any moment."""
+    if _EMITTED["done"]:
+        return
+    _EMITTED["done"] = True
+    if partial:
+        RESULT["partial"] = True
+        if reason:
+            RESULT["partial_reason"] = reason
+    DETAIL.setdefault("budget", {})["budget_sec"] = BUDGET
+    DETAIL["budget"]["elapsed_at_emit_sec"] = round(elapsed(), 1)
+    RESULT["bench_wall_sec"] = round(elapsed(), 1)
+    RESULT["bench_budget_sec"] = BUDGET
+    # stdout stays ONE compact line (driver contract; round 2's full
+    # dump overflowed the capture).  Never abort after the work is
+    # done: if the line outgrows the limit, shed the least essential
+    # keys and note it in the sidecar (ADVICE r3).  A signal can land
+    # mid-phase while the main flow mutates these dicts, so a racing
+    # dump falls back to the bare contract keys rather than dying.
+    try:
+        line = json.dumps(RESULT)
+    except RuntimeError:
+        line = json.dumps({k: RESULT.get(k) for k in
+                           ("sf", "cpus", "value", "unit", "partial")})
+    dropped = []
+    for k in ("queries", "scaling_2to8", "headline_passes_kept",
+              "headline_passes_discarded"):
+        if len(line) < 1900:
+            break
+        if k in RESULT:
+            dropped.append(k)
+            del RESULT[k]
+            line = json.dumps(RESULT)
+    if dropped:
+        DETAIL["stdout_dropped_keys"] = dropped
+    DETAIL.update({k: v for k, v in RESULT.items() if k not in DETAIL})
+    here = os.path.dirname(os.path.abspath(__file__))
+    # the committed sidecar + BASELINE.md prose are HEADLINE-SCALE
+    # evidence (sf0.1 @ 32 cpus, the driver config).  A smoke run at
+    # another SF/cpu level (e.g. the verify recipe's sf0.01 local[8])
+    # must not clobber them — it lands in a _smoke sidecar instead.
+    # PSL_BENCH_WRITE_ARTIFACT=1/0 overrides either way.  A partial
+    # run never clobbers the committed full-evidence sidecar either.
+    headline_cfg = abs(SF - 0.1) < 1e-9 and CPUS == 32
+    write_artifact = os.environ.get(
+        "PSL_BENCH_WRITE_ARTIFACT", "1" if headline_cfg else "0") == "1"
+    sidecar = ("BENCH_DETAIL.json" if write_artifact and not partial
+               else "BENCH_DETAIL_smoke.json" if not write_artifact
+               else "BENCH_DETAIL_partial.json")
+    try:
+        with open(os.path.join(here, sidecar), "w") as fh:
+            json.dump(DETAIL, fh, indent=1, sort_keys=True, default=str)
+    except Exception:
+        pass
+    # regenerate the BASELINE.md measured-results block from the
+    # artifact just written, so a driver re-run can never strand the
+    # prose (r3 verdict #2); best-effort — prose must never break the
+    # stdout contract, and a signal-path emit skips it entirely (no
+    # subprocess while dying)
+    if write_artifact and not partial and not from_signal:
+        try:
+            import subprocess
+
+            subprocess.run(
+                [sys.executable, os.path.join(here, "scripts",
+                                              "update_baseline_prose.py")],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            pass
+    print(line, flush=True)
+
+
+def _signal_emit(signum, frame):
+    # fork()ed children (the cpu_probe pool workers — Pool.terminate()
+    # SIGTERMs them on every context exit) inherit this handler: only
+    # the process that installed it may emit, or every probe call
+    # sprays partial JSON lines onto the driver's stdout capture
+    if os.getpid() != _MAIN_PID:
+        os._exit(0)
+    emit_final(partial=True, reason=f"signal_{signum}", from_signal=True)
+    os._exit(0)
+
+
+def _historical_probe_anchor() -> float | None:
+    """probe_fresh_wide from the committed full-evidence sidecar: an
+    absolute same-box reference for 'the throttle has lifted', so the
+    initial settle can be probe-driven instead of a fixed 180s sleep
+    (r4 verdict #1b).  The probe workload is fixed pure-Python hashing,
+    so units/sec is comparable across runs."""
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_DETAIL.json")) as fh:
+            d = json.load(fh)
+        # the probe reading scales with probe WIDTH — an anchor taken
+        # at 32 procs is meaningless for an 8-cpu smoke run (measured:
+        # it made the smoke settle burn its whole cap against an
+        # unreachable target)
+        if d.get("cpus") != CPUS:
+            return None
+        v = d.get("probe_fresh_wide")
+        return float(v) if v else None
+    except Exception:
+        return None
+
+
+def settle_until_fresh(anchor: float | None, cap_sec: float,
+                       frac: float = 0.85, interval: int = 30,
+                       probe_fn=None, floor_remaining: float = 90) -> dict:
+    """Probe-driven settle: poll the full-width raw-CPU probe until it
+    reads >= frac*anchor (sustained-load throttle lifted), the cap is
+    spent, or the global budget floor is hit.  With no anchor, stop at
+    a plateau (two consecutive polls within 3% of the best seen).
+    Returns {waited, probe, readings} — the max reading feeds the
+    fresh-probe calibration.  Replaces the fixed 180s/90s sleeps that
+    timed round 4 out: on a rested box the first probe passes and the
+    settle costs ~2s."""
+    probe_fn = probe_fn or (lambda: cpu_probe(CPUS, units=CPUS * 24))
+    waited = 0.0
+    p = probe_fn()
+    readings = [p]
+    best = p
+    flat = 0
+    while waited < cap_sec and remaining() > floor_remaining:
+        if anchor is not None:
+            if p >= frac * anchor:
+                break
+        else:
+            if p >= 0.97 * best:
+                flat += 1
+                if flat >= 2:
+                    break
+            else:
+                flat = 0
+        step = min(interval, cap_sec - waited)
+        time.sleep(step)
+        waited += step
+        p = probe_fn()
+        readings.append(p)
+        best = max(best, p)
+    return {"waited_sec": round(waited, 1), "probe": p,
+            "readings": readings}
 
 
 def make_spark(cpus: int):
@@ -111,12 +309,15 @@ def pipeline_run(spark, n_rows: int, out_dir: str, warmup: bool = True,
     DISCARDED and redone (bounded by `max_redos`; a bounded
     poll-until-recovered sleep runs before each redo).  Discards are
     one-sided-honest: only probe-certified-bad windows are dropped — a
-    slow pass on a healthy box is a real observation and is kept.  If
-    the redo budget runs dry before `passes` clean passes exist, the
-    discarded passes are folded back in with fallback_unfiltered=True
-    (evidence either way, never a crash).  Keys: {"probe": fn() ->
-    units/sec, "fresh": float, "threshold": 0.75, "max_redos": int,
-    "recover_cap_sec": int}.
+    slow pass on a healthy box is a real observation and is kept.
+    Fold-back happens only when ZERO clean passes exist when the redo
+    budget runs dry (then the discarded passes are reported with
+    fallback_unfiltered=True — evidence either way, never a crash); if
+    SOME clean passes exist, the median is taken over just those (a
+    short clean set beats polluting it with certified-bad passes), and
+    the shortfall is visible in len("passes") vs the requested count.
+    Keys: {"probe": fn() -> units/sec, "fresh": float,
+    "threshold": 0.75, "max_redos": int, "recover_cap_sec": int}.
 
     A warmup pass on a 5% slice runs first (not timed): it JIT-compiles
     the JVM paths and spins up the Python workers, so the timed passes
@@ -240,13 +441,20 @@ def pipeline_run(spark, n_rows: int, out_dir: str, warmup: bool = True,
                 r["probe_before"], r["probe_after"] = p_before, p_after
                 discarded.append(r)
                 # bounded poll-until-recovered before the redo — the
-                # throttle lifts on a minutes timescale
+                # throttle lifts on a minutes timescale; the global
+                # wall-clock budget bounds it too (a redo the clock
+                # can't pay for is worse than a short pass set)
                 waited = 0
-                while p_after < floor and waited < recover_cap:
+                while (p_after < floor and waited < recover_cap
+                       and remaining() > 180):
                     time.sleep(60)
                     waited += 60
                     p_after = probe()
                 p_before = p_after
+            # stop redoing/extending when the budget needs the tail
+            # phases — as long as at least one pass is in hand
+            if results and remaining() < 150:
+                break
         if not results:
             # every window was certified bad: report the discarded
             # passes rather than nothing (flagged — evidence either way)
@@ -427,12 +635,20 @@ def date_cohort_matrix(n: int = 20000) -> dict[str, float]:
 
 
 def main():
-    import subprocess
+    import signal
 
     from pysyslog.gen import rows_for_sf
 
+    # never exit silent: driver SIGTERM (its timeout's first shot) and
+    # our own alarm backstop both emit the partial compact line first
+    signal.signal(signal.SIGTERM, _signal_emit)
+    signal.signal(signal.SIGALRM, _signal_emit)
+    signal.alarm(BUDGET + 300)
+
     n_rows = rows_for_sf(SF)
-    detail: dict = {"sf": SF, "cpus": CPUS}
+    detail = DETAIL
+    detail.update({"sf": SF, "cpus": CPUS})
+    RESULT.update({"sf": SF, "cpus": CPUS, "value": None, "unit": "sec"})
     do_heavy = os.environ.get("PSL_BENCH_SCALING", "1") == "1"
     # Record the raw process-start reading, then SETTLE before taking
     # the reference "fresh" probe: the invoker (driver) may have just
@@ -441,20 +657,30 @@ def main():
     # FULL width: this sandbox's throttle is concurrency-dependent
     # (an 8-proc probe read ABOVE fresh while the 32-way headline
     # still ran 3x slow), so only a headline-width probe can certify
-    # anything about the headline.
+    # anything about the headline.  The settle is PROBE-DRIVEN against
+    # the committed sidecar's fresh reading (same box, same fixed
+    # workload) with the old fixed sleep as its cap — on a rested box
+    # it costs one probe (~2s) instead of 180s (r4 verdict #1b).
+    t_ph = time.time()
     detail["probe_at_start"] = cpu_probe(CPUS, units=CPUS * 24)
+    settle_readings: list = []
     if do_heavy:
-        time.sleep(int(os.environ.get("PSL_BENCH_INITIAL_SETTLE_SEC", "180")))
+        cap = int(os.environ.get("PSL_BENCH_INITIAL_SETTLE_SEC", "180"))
+        s = settle_until_fresh(_historical_probe_anchor(), cap)
+        settle_readings = s["readings"]
+        detail["initial_settle"] = {"waited_sec": s["waited_sec"],
+                                    "anchor": _historical_probe_anchor()}
     p1 = cpu_probe(CPUS, units=CPUS * 24)
-    time.sleep(20)
-    p2 = cpu_probe(CPUS, units=CPUS * 24)
-    probe_fresh_wide = max(p1, p2, detail["probe_at_start"])
+    probe_fresh_wide = max([p1, detail["probe_at_start"], *settle_readings])
     detail["probe_fresh_wide"] = probe_fresh_wide
-    detail["probe_fresh_pair"] = [p1, p2]
+    detail["probe_fresh_pair"] = [p1, *settle_readings[-1:]]
+    _phase_done("settle", t_ph)
 
-    # config matrix AFTER the settle, probe-bracketed with one redo
-    # (r3 verdict #3: it ran first on an uncertified box once and the
-    # reference-ordering claim scrambled in the committed artifact)
+    # config matrix BEFORE any Spark work (r4 verdict #4: pure-Python,
+    # ~1 min — run it early so it survives even a partial run), still
+    # probe-bracketed with one redo (r3 verdict #3: it ran on an
+    # uncertified box once and the reference-ordering claim scrambled)
+    t_ph = time.time()
     for attempt in range(2):
         pb = cpu_probe(CPUS, units=CPUS * 24)
         cm = config_matrix()
@@ -467,13 +693,26 @@ def main():
             "before": pb, "after": pa, "attempt": attempt + 1,
             "window_ok": window_ok,
         }
-        if window_ok or not do_heavy:
+        if window_ok or not do_heavy or remaining() < BUDGET * 0.8:
+            if not window_ok and do_heavy:
+                _shed("config_matrix_redo", reason="budget")
             break
         time.sleep(120)
     # r3 verdict #6: one-line root-cause evidence for the parse_pri
     # drift — master-regex cost on the pure PRI+BSD cohort vs the
     # round-2 minimal shape
     detail["parse_pri_ab"] = parse_pri_ab()
+    _phase_done("matrices", t_ph)
+
+    # tail reserves: what the phases still ahead are expected to cost.
+    # Conservative point estimates calibrated from committed artifacts
+    # (headline: ~25s Spark start + ~25s warmup + passes x ~15s + 2
+    # isolated probes x ~5s per pass; queries: ~12s/round at sf0.1).
+    EST_HEADLINE_FULL, EST_HEADLINE_MIN = 340, 200
+    EST_QUERIES_FULL, EST_QUERIES_MIN = 150, 60
+    MARGIN = 90
+    tail_full = EST_HEADLINE_FULL + EST_QUERIES_FULL + MARGIN
+    tail_min = EST_HEADLINE_MIN + EST_QUERIES_MIN + MARGIN
 
     # bench IO lives on tmpfs when available: the plan under test is
     # CPU/shuffle-bound (a real deployment writes to an object store /
@@ -493,92 +732,17 @@ def main():
         # sensed it, 1->4 probe eff 0.62-0.71 in those windows).  The
         # ratio statistic survives either way, but the raw numbers are
         # only representative when the gate phase runs before the burn.
+        # The headline+queries tail is RESERVED out of the budget: the
+        # compact line's "value" key is the one thing a bench run must
+        # never come back without.
         scaling = None
         scaling2 = None
         if do_heavy:
-            scaling = run_scaling(tmp, n_rows)
+            t_ph = time.time()
+            scaling = run_scaling(tmp, n_rows, fresh_wide=probe_fresh_wide,
+                                  tail_reserve=tail_min)
             detail["scaling"] = scaling
-            # SECONDARY window 2->8 (r3 verdict #4): the 1->4 choice is
-            # measured, not shopped — so also report the old window,
-            # with the same probe discipline.  Expect raw ~0.66-0.8
-            # there: local[8] demands ~16+ threads on a ~13-effective-
-            # core box, so its probe-adjusted ratio is the meaningful
-            # one (the probe itself reads ~0.7 at 8 procs).
-            if os.environ.get("PSL_BENCH_SCALE_SECONDARY", "1") == "1":
-                scaling2 = run_scaling(tmp, n_rows, n_small=2, reps=3,
-                                       include_mid=False)
-                detail["scaling_secondary_2to8"] = scaling2
-            # ADAPTIVE cooldown: the box recovers from sustained-load
-            # throttle on a minutes timescale, and fixed sleeps (120s,
-            # 300s) both proved too short — headline passes kept
-            # reading 48-69s during recovery vs 14-17s recovered.
-            # Poll the FULL-WIDTH raw-CPU probe until it is back to
-            # >=90% of the bench-start reading (bounded at 15 min).
-            waited = 0
-            p = 0.0
-            cap = int(os.environ.get("PSL_BENCH_COOLDOWN_CAP_SEC", "900"))
-            while waited < cap:
-                time.sleep(60)
-                waited += 60
-                p = cpu_probe(CPUS, units=CPUS * 24)
-                if p >= 0.9 * probe_fresh_wide:
-                    break
-            detail["cooldown"] = {
-                "probe_fresh_wide": probe_fresh_wide,
-                "probe_resumed_wide": p,
-                "waited_sec": waited,
-            }
-
-        spark = make_spark(CPUS)
-        # 5 kept passes, each bracketed by the full-width probe with
-        # discard/redo (r3 verdict #1: the committed headline median
-        # was taken blind through two certified-bad hypervisor waves
-        # while the scaling reps had discard hygiene — now both do).
-        # The probe runs in a clean subprocess (driver JVM is alive
-        # here); median of kept passes is the headline, best pass
-        # reported alongside as the least-interfered observation.
-        gate = None
-        if do_heavy:
-            gate = {
-                "probe": lambda: cpu_probe_isolated(CPUS, CPUS * 24),
-                "fresh": probe_fresh_wide,
-                "threshold": 0.75,
-                "max_redos": 4,
-                "recover_cap_sec": 300,
-            }
-        pipe = pipeline_run(spark, n_rows, os.path.join(tmp, f"c{CPUS}"),
-                            passes=5, probe_gate=gate)
-        queries, query_passes = run_queries(spark)
-        queries["syslog_e2e_pipeline"] = pipe["total_sec"]
-        detail["queries_all_passes"] = query_passes
-        spark.stop()
-
-        detail["pipeline"] = pipe
-        all_secs = pipe.get("all_pass_secs") or pipe.get(
-            "passes", [pipe["total_sec"]])
-        result: dict = {
-            "metric": (
-                "syslog end-to-end wall seconds for "
-                f"{pipe['rows']} lines (detok→parse→enrich→route→agg); "
-                "throughput in throughput_lines_per_sec"
-            ),
-            "value": pipe["total_sec"],
-            "unit": "sec",
-            "sf": SF,
-            "cpus": CPUS,
-            "throughput_lines_per_sec": pipe["lines_per_sec"],
-            "throughput_best_pass": round(pipe["rows"] / min(all_secs), 1),
-            "queries": queries,
-        }
-        if gate is not None:
-            result["headline_passes_kept"] = len(pipe.get("passes", [1]))
-            result["headline_passes_discarded"] = len(
-                pipe.get("discarded_passes", []))
-
-        if scaling is not None:
-            # headline scaling keys only — the full per-rep evidence
-            # lives in the sidecar (BENCH_DETAIL.json)
-            result["scaling"] = {
+            RESULT["scaling"] = {
                 k: scaling[k]
                 for k in (
                     "n", "rows", "reps_used", "reps_discarded",
@@ -588,66 +752,135 @@ def main():
                     "ceiling_adjusted_efficiency_n_to_4n",
                 )
             }
-        if scaling2 is not None:
-            result["scaling_2to8"] = {
-                k: scaling2[k]
-                for k in (
-                    "n", "reps_used", "reps_discarded",
-                    "throughput_n", "throughput_4n", "efficiency_n_to_4n",
-                    "cpu_ceiling_probe_efficiency_n_to_4n",
-                    "ceiling_adjusted_efficiency_n_to_4n",
-                )
+            _phase_done("scaling_primary", t_ph)
+            # SECONDARY window 2->8 (r3 verdict #4): the 1->4 choice is
+            # measured, not shopped — so also report the old window,
+            # with the same probe discipline.  Expect raw ~0.66-0.8
+            # there: local[8] demands ~16+ threads on a ~13-effective-
+            # core box, so its probe-adjusted ratio is the meaningful
+            # one (the probe itself reads ~0.7 at 8 procs).  FIRST TO
+            # BE SHED when behind budget (r4 verdict #1a): reps adapt
+            # to what fits after reserving the full headline tail.
+            if os.environ.get("PSL_BENCH_SCALE_SECONDARY", "1") == "1":
+                rep_cost = scaling.get("mean_rep_sec") or 300
+                sec_rep = rep_cost * 0.75  # levels 2/8 run ~4x/2x faster
+                fit = int((remaining() - tail_full - 120) // max(sec_rep, 60))
+                sec_reps = max(0, min(3, fit))
+                if sec_reps == 0:
+                    _shed("scaling_secondary_2to8", reason="budget",
+                          remaining_sec=round(remaining(), 1))
+                else:
+                    if sec_reps < 3:
+                        _shed("scaling_secondary_reps", kept=sec_reps,
+                              wanted=3, reason="budget")
+                    t_ph = time.time()
+                    scaling2 = run_scaling(
+                        tmp, n_rows, n_small=2, reps=sec_reps,
+                        include_mid=False, fresh_wide=probe_fresh_wide,
+                        tail_reserve=tail_min)
+                    detail["scaling_secondary_2to8"] = scaling2
+                    RESULT["scaling_2to8"] = {
+                        k: scaling2[k]
+                        for k in (
+                            "n", "reps_used", "reps_discarded",
+                            "throughput_n", "throughput_4n",
+                            "efficiency_n_to_4n",
+                            "cpu_ceiling_probe_efficiency_n_to_4n",
+                            "ceiling_adjusted_efficiency_n_to_4n",
+                        )
+                    }
+                    _phase_done("scaling_secondary", t_ph)
+            # ADAPTIVE cooldown: the box recovers from sustained-load
+            # throttle on a minutes timescale, and fixed sleeps (120s,
+            # 300s) both proved too short — headline passes kept
+            # reading 48-69s during recovery vs 14-17s recovered.
+            # Poll the FULL-WIDTH raw-CPU probe until it is back to
+            # >=90% of the bench-start reading, bounded by BOTH the
+            # env cap and what the budget can spare after reserving
+            # the headline tail (shedding order: cooldown is cut
+            # before headline passes are).
+            t_ph = time.time()
+            env_cap = int(os.environ.get("PSL_BENCH_COOLDOWN_CAP_SEC", "900"))
+            cap = max(0.0, min(env_cap, remaining() - tail_full))
+            if cap < env_cap:
+                _shed("cooldown_cap", cap_sec=round(cap, 1),
+                      env_cap=env_cap, reason="budget")
+            s = settle_until_fresh(probe_fresh_wide, cap, frac=0.9,
+                                   interval=30)
+            detail["cooldown"] = {
+                "probe_fresh_wide": probe_fresh_wide,
+                "probe_resumed_wide": s["probe"],
+                "waited_sec": s["waited_sec"],
+                "cap_sec": round(cap, 1),
             }
+            _phase_done("cooldown", t_ph)
+
+        t_ph = time.time()
+        spark = make_spark(CPUS)
+        # 5 kept passes (3 when behind budget), each bracketed by the
+        # full-width probe with discard/redo (r3 verdict #1: the
+        # committed headline median was taken blind through two
+        # certified-bad hypervisor waves while the scaling reps had
+        # discard hygiene — now both do).  The probe runs in a clean
+        # subprocess (driver JVM is alive here); median of kept passes
+        # is the headline, best pass alongside as the least-interfered
+        # observation.
+        rem = remaining()
+        hl_passes = 5 if rem > tail_full else 3
+        if hl_passes < 5:
+            _shed("headline_passes", kept=hl_passes, wanted=5,
+                  reason="budget", remaining_sec=round(rem, 1))
+        gate = None
+        if do_heavy:
+            redos = 4 if rem > tail_full + 120 else (2 if rem > tail_min
+                                                     else 0)
+            if redos < 4:
+                _shed("headline_redo_budget", kept=redos, wanted=4,
+                      reason="budget")
+            gate = {
+                "probe": lambda: cpu_probe_isolated(CPUS, CPUS * 24),
+                "fresh": probe_fresh_wide,
+                "threshold": 0.75,
+                "max_redos": redos,
+                "recover_cap_sec": 300 if rem > tail_full + 300 else 60,
+            }
+        pipe = pipeline_run(spark, n_rows, os.path.join(tmp, f"c{CPUS}"),
+                            passes=hl_passes, probe_gate=gate)
+        detail["pipeline"] = pipe
+        all_secs = pipe.get("all_pass_secs") or pipe.get(
+            "passes", [pipe["total_sec"]])
+        RESULT.update({
+            "metric": (
+                "syslog end-to-end wall seconds for "
+                f"{pipe['rows']} lines (detok→parse→enrich→route→agg); "
+                "throughput in throughput_lines_per_sec"
+            ),
+            "value": pipe["total_sec"],
+            "throughput_lines_per_sec": pipe["lines_per_sec"],
+            "throughput_best_pass": round(pipe["rows"] / min(all_secs), 1),
+        })
+        if gate is not None:
+            RESULT["headline_passes_kept"] = len(pipe.get("passes", [1]))
+            RESULT["headline_passes_discarded"] = len(
+                pipe.get("discarded_passes", []))
+        _phase_done("headline", t_ph)
+
+        t_ph = time.time()
+        rem = remaining()
+        q_rounds = 3 if rem > EST_QUERIES_FULL else (2 if rem > 90 else 1)
+        if q_rounds < 3:
+            _shed("query_rounds", kept=q_rounds, wanted=3, reason="budget",
+                  remaining_sec=round(rem, 1))
+        queries, query_passes = run_queries(spark, passes=q_rounds)
+        queries["syslog_e2e_pipeline"] = pipe["total_sec"]
+        detail["queries_all_passes"] = query_passes
+        RESULT["queries"] = queries
+        spark.stop()
+        _phase_done("queries", t_ph)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    # stdout stays ONE compact line (driver contract; round 2's full
-    # dump overflowed the capture).  Never abort after the work is
-    # done: if the line outgrows the limit, shed the least essential
-    # keys and note it in the sidecar (ADVICE r3).
-    line = json.dumps(result)
-    dropped = []
-    for k in ("queries", "scaling_2to8", "headline_passes_kept",
-              "headline_passes_discarded"):
-        if len(line) < 1900:
-            break
-        if k in result:
-            dropped.append(k)
-            del result[k]
-            line = json.dumps(result)
-    if dropped:
-        detail["stdout_dropped_keys"] = dropped
-
-    # sidecar carries everything (config matrix, per-rep scaling
-    # detail, per-level pass times).  result's compact "scaling" must
-    # NOT clobber the full one already in detail.
-    detail.update({k: v for k, v in result.items() if k not in detail})
-    here = os.path.dirname(os.path.abspath(__file__))
-    # the committed sidecar + BASELINE.md prose are HEADLINE-SCALE
-    # evidence (sf0.1 @ 32 cpus, the driver config).  A smoke run at
-    # another SF/cpu level (e.g. the verify recipe's sf0.01 local[8])
-    # must not clobber them — it lands in a _smoke sidecar instead.
-    # PSL_BENCH_WRITE_ARTIFACT=1/0 overrides either way.
-    headline_cfg = abs(SF - 0.1) < 1e-9 and CPUS == 32
-    write_artifact = os.environ.get(
-        "PSL_BENCH_WRITE_ARTIFACT", "1" if headline_cfg else "0") == "1"
-    sidecar = "BENCH_DETAIL.json" if write_artifact else "BENCH_DETAIL_smoke.json"
-    with open(os.path.join(here, sidecar), "w") as fh:
-        json.dump(detail, fh, indent=1, sort_keys=True)
-    # regenerate the BASELINE.md measured-results block from the
-    # artifact just written, so a driver re-run can never strand the
-    # prose (r3 verdict #2); best-effort — prose must never break the
-    # stdout contract
-    if write_artifact:
-        try:
-            subprocess.run(
-                [sys.executable, os.path.join(here, "scripts",
-                                              "update_baseline_prose.py")],
-                check=True, capture_output=True, timeout=120,
-            )
-        except Exception:
-            pass
-    print(line)
+    emit_final()
 
 
 def _probe_unit(i: int) -> int:
@@ -720,9 +953,13 @@ def parse_pri_ab(n: int = 20000) -> dict:
         r"\s([^\s:]+)\s"
         r"(([A-Za-z][A-Za-z0-9._/-]+)(?:\[([^\]:()]+)\])?):\s+(.*)$"
     )
-    missed = sum(1 for s in cohort if minimal.match(s) is None)
-    if missed:  # yardstick must cover the cohort or the A/B is void
-        return {"error": f"minimal regex missed {missed}/{len(cohort)}"}
+    # BOTH regexes must cover the cohort or the A/B is void — an
+    # unguarded m(s).groups() on a miss would AttributeError and abort
+    # the whole bench mid-phase (ADVICE r4)
+    for name, rx in (("master_full", full), ("minimal_r2_shape", minimal)):
+        missed = sum(1 for s in cohort if rx.match(s) is None)
+        if missed:
+            return {"error": f"{name} regex missed {missed}/{len(cohort)}"}
     out = {}
     for name, rx in (("master_full", full), ("minimal_r2_shape", minimal)):
         m = rx.match
@@ -740,7 +977,9 @@ def parse_pri_ab(n: int = 20000) -> dict:
 
 
 def run_scaling(tmp: str, n_rows: int, n_small: int | None = None,
-                reps: int | None = None, include_mid: bool = True) -> dict:
+                reps: int | None = None, include_mid: bool = True,
+                fresh_wide: float | None = None,
+                tail_reserve: float = 350) -> dict:
     """Two-cluster-size scaling evidence (north rule: >=0.8 efficiency
     from N to 4N).  Each parallelism level runs in a FRESH python+JVM
     process (JIT warmth must not leak between levels).  The N and 4N
@@ -770,7 +1009,15 @@ def run_scaling(tmp: str, n_rows: int, n_small: int | None = None,
     per-stage parse 3.83x and route 3.91x; 4->8 collapses to 0.75.
     1->4 is the widest window where both cluster sizes get real
     hardware, so its ratio is the defensible two-cluster-size
-    statistic; the mid level (2N) is reported for monotonicity."""
+    statistic; the mid level (2N) is reported for monotonicity.
+
+    Budget behavior (r4 verdict #1): settles are PROBE-DRIVEN (poll the
+    full-width probe against `fresh_wide`, fixed sleep as cap — ~2s on
+    a rested box), the rep loop stops starting new reps when the
+    remaining budget cannot cover a measured-cost rep plus
+    `tail_reserve` (at least one rep always runs), and every attempt's
+    raw results land in DETAIL immediately so a partial emit carries
+    the in-flight evidence."""
     import subprocess
 
     if n_small is None:
@@ -816,9 +1063,31 @@ def run_scaling(tmp: str, n_rows: int, n_small: int | None = None,
     probe_hi: list = []
     discarded: list = []
     attempts = 0
+    att_secs: list = []
+    settle_evidence: list = []
+    budget_stopped = False
+    inflight_key = f"scaling_inflight_{n_small}to{n_small * 4}"
+    DETAIL[inflight_key] = {"attempts": []}
+
+    def _settle():
+        # probe-driven: `settle` (the old fixed sleep) is now the CAP
+        s = settle_until_fresh(fresh_wide, settle, frac=0.85, interval=30)
+        settle_evidence.append(s["waited_sec"])
+        return s
+
     while len(runs[n_small]) < reps and attempts < reps * 2 + 2:
+        # budget gate: never start a rep the clock can't pay for — but
+        # always run at least one (the north rule needs a ratio)
+        rep_est = (sum(att_secs) / len(att_secs)) if att_secs else 300
+        if runs[n_small] and remaining() < rep_est + tail_reserve:
+            budget_stopped = True
+            _shed("scaling_reps", window=f"{n_small}to{n_small * 4}",
+                  kept=len(runs[n_small]), wanted=reps, reason="budget",
+                  rep_est_sec=round(rep_est, 1))
+            break
         attempts += 1
-        time.sleep(settle)
+        t_att = time.time()
+        _settle()
         p_lo = cpu_probe(n_small)
         # ALTERNATE which level runs first: the small level is the
         # longer/hotter run, and this box degrades under sustained load
@@ -828,14 +1097,20 @@ def run_scaling(tmp: str, n_rows: int, n_small: int | None = None,
         # across reps at zero wall-time cost
         if attempts % 2 == 1:
             r_lo = _invoke(n_small, attempts)
-            time.sleep(settle)
+            _settle()
             r_hi = _invoke(n_small * 4, attempts)
         else:
             r_hi = _invoke(n_small * 4, attempts)
-            time.sleep(settle)
+            _settle()
             r_lo = _invoke(n_small, attempts)
         time.sleep(5)  # let subprocess teardown drain before probing
         p_hi = cpu_probe(n_small * 4)
+        att_secs.append(time.time() - t_att)
+        DETAIL[inflight_key]["attempts"].append({
+            "attempt": attempts, "probe_lo": p_lo, "probe_hi": p_hi,
+            "r_lo": r_lo, "r_hi": r_hi,
+            "wall_sec": round(att_secs[-1], 1),
+        })
         probe_eff_raw = p_hi / p_lo / 4.0
         ratio_raw = r_hi["lines_per_sec"] / r_lo["lines_per_sec"] / 4.0
         if not (0.4 <= probe_eff_raw <= 1.1) or ratio_raw > 1.05:
@@ -862,8 +1137,9 @@ def run_scaling(tmp: str, n_rows: int, n_small: int | None = None,
         runs[n_small * 4].append(r_hi)
         probe_lo.append(p_lo)
         probe_hi.append(p_hi)
-        if include_mid and len(runs[n_small * 2]) == 0:
-            time.sleep(settle)
+        if (include_mid and len(runs[n_small * 2]) == 0
+                and remaining() > tail_reserve + 90):
+            _settle()
             runs[n_small * 2].append(_invoke(n_small * 2, attempts))
     fallback_unfiltered = False
     if not runs[n_small]:
@@ -877,7 +1153,13 @@ def run_scaling(tmp: str, n_rows: int, n_small: int | None = None,
             probe_lo.append(d["probe_lo"])
             probe_hi.append(d["probe_hi"])
     if include_mid and not runs[n_small * 2]:
-        runs[n_small * 2].append(_invoke(n_small * 2, 0))
+        if remaining() > tail_reserve + 60:
+            runs[n_small * 2].append(_invoke(n_small * 2, 0))
+        else:
+            # mid level is monotonicity garnish, not the ratio — shed it
+            _shed("scaling_mid_level", level=n_small * 2, reason="budget")
+            include_mid = False
+            levels = [c for c in levels if c != n_small * 2]
     per_level: dict = {}
     for cpus in levels:
         rs = sorted(runs[cpus], key=lambda r: r["total_sec"])
@@ -926,11 +1208,16 @@ def run_scaling(tmp: str, n_rows: int, n_small: int | None = None,
         return max(r["lines_per_sec"] for r in runs[cpus])
 
     eff_best = round(_best(n_small * 4) / _best(n_small) / 4.0, 3)
+    del DETAIL[inflight_key]  # completed — full evidence returned below
     return {
         "n": n_small,
         "rows": scale_rows,
         "reps_used": len(paired),
         "reps_discarded": len(discarded),
+        "reps_budget_stopped": budget_stopped,
+        "mean_rep_sec": round(sum(att_secs) / len(att_secs), 1) if att_secs
+        else None,
+        "settle_waits_sec": settle_evidence,
         "throughput_n": lo,
         "throughput_2n": mid,
         "throughput_4n": hi,

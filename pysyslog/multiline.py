@@ -10,6 +10,16 @@ ORDER BY line_no)` — then records are `\n`-joins of each group's lines
 in order.  The window partitions by source/file, so parallelism is
 per-source (bounded state, no global ordering).  The streaming version
 lives in pysyslog.streaming.
+
+Scale contract: ONE source serializes into ONE task — per-source line
+ordering is the semantics (a continuation line belongs to the record
+started on ITS stream), so it cannot be parallelized within a source
+without breaking reassembly.  Throughput scales with the NUMBER of
+sources, which in a real log estate is large (hosts × files); a single
+giant source is the degenerate case and would bottleneck any engine
+with these semantics, including the reference's sequential reader.
+The streaming version (pysyslog/streaming.py) shares this contract via
+its groupBy("source") state partitioning.
 """
 
 from __future__ import annotations

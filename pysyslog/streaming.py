@@ -104,7 +104,13 @@ def reassemble_stream(lines: DataFrame, timeout_ms: int = 60_000) -> DataFrame:
     """Stateful streaming reassembly of (source, line_no, line) into
     logical records.  State per source = the pending record buffer
     (⇔ the module-level $buffer, Line.pm:1045); a processing-time
-    timeout drains it (⇔ the final no-arg call, Line.pm:1062-1065)."""
+    timeout drains it (⇔ the final no-arg call, Line.pm:1062-1065).
+
+    Scale contract (shared with the batch form, pysyslog/multiline.py):
+    one source = one ordered stream = one state partition — parallelism
+    comes from the number of sources, never from within one source,
+    because a continuation line is only meaningful relative to the
+    record started on its own stream."""
     return lines.groupBy("source").applyInPandasWithState(
         make_reassemble_fn(timeout_ms),
         outputStructType=RECORD_SCHEMA,

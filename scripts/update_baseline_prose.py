@@ -124,6 +124,20 @@ def render(detail: dict) -> str:
     probes = {k: detail.get(k) for k in
               ("probe_at_start", "probe_fresh_wide", "probe_fresh_pair")}
     lines.append(f"- **Box probes**: {json.dumps(probes)}.")
+    b = detail.get("budget")
+    if b:
+        lines.append(
+            f"- **Wall-clock budget**: {b.get('elapsed_at_emit_sec')}s "
+            f"used of {b.get('budget_sec')}s; per-phase "
+            f"{json.dumps(b.get('phase_sec', {}))}; "
+            + (f"shed {json.dumps(b.get('shed'))}" if b.get("shed")
+               else "nothing shed")
+            + ".")
+    ise = detail.get("initial_settle")
+    if ise is not None:
+        lines.append(
+            f"- **Initial settle (probe-driven)**: {ise.get('waited_sec')}s"
+            f" against anchor {ise.get('anchor')}.")
     if detail.get("stdout_dropped_keys"):
         lines.append(f"- stdout keys dropped for the driver line-length "
                      f"contract: {detail['stdout_dropped_keys']}.")
