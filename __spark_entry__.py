@@ -676,10 +676,21 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_rolling_fingerprint(spark, sf_dir):
+    """Winnowing fingerprint over the documents table PLUS a derived
+    short-row cohort (first 5 chars of doc_id<50, re-keyed +1e7): every
+    fixture text is >= the 8-char window, so without the cohort the
+    kernel's short-row branch is never value-hash-gated — and that is
+    exactly where a float64-coercion precision bug hid in r5 (pandas
+    setitem rounding hashes above 2^53)."""
     from pysyslog.textops import rolling_hash_udf
 
     docs = _read(spark, sf_dir, "documents")
-    return docs.select(
+    short = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.substring("text", 1, 5).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(short)
+    return corpus.select(
         "doc_id", rolling_hash_udf()(F.col("text")).alias("rolling_fp")
     )
 
@@ -1147,9 +1158,14 @@ def _rolling_fp_sql(window: int = 8, mod: int = (1 << 61) - 1,
         for j in range(window - 1)
     )
     return f"""
-        WITH d AS (
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000, substr(text, 1, 5)
+            FROM documents WHERE doc_id < 50
+        ), d AS (
             SELECT doc_id, text, length(text) AS L
-            FROM documents WHERE text IS NOT NULL
+            FROM corpus WHERE text IS NOT NULL
         ), pos AS (
             SELECT doc_id, text, i
             FROM (SELECT doc_id, text, unnest(range(1, L - {window - 2})) AS i
@@ -1164,7 +1180,7 @@ def _rolling_fp_sql(window: int = 8, mod: int = (1 << 61) - 1,
         SELECT doc_id, fp::bigint AS rolling_fp FROM long_h
         UNION ALL SELECT doc_id, fp::bigint FROM short_h
         UNION ALL SELECT doc_id, NULL::bigint AS rolling_fp
-                  FROM documents WHERE text IS NULL
+                  FROM corpus WHERE text IS NULL
     """
 
 

@@ -432,6 +432,12 @@ def pipeline_run(spark, n_rows: int, out_dir: str, warmup: bool = True,
         p_before = probe()
         while len(results) < passes and len(results) + len(discarded) < budget:
             r = one_pass()
+            # let the pass's own burn drain before probing — an
+            # immediate probe reads the pass's thermal shadow (deep
+            # after a long pass) and would mis-attribute it to the
+            # window; 10s matches the teardown drain the scaling reps
+            # already use
+            time.sleep(10)
             p_after = probe()
             if min(p_before, p_after) >= floor:
                 r["probe_before"], r["probe_after"] = p_before, p_after
@@ -708,7 +714,7 @@ def main():
     # Conservative point estimates calibrated from committed artifacts
     # (headline: ~25s Spark start + ~25s warmup + passes x ~15s + 2
     # isolated probes x ~5s per pass; queries: ~12s/round at sf0.1).
-    EST_HEADLINE_FULL, EST_HEADLINE_MIN = 340, 200
+    EST_HEADLINE_FULL, EST_HEADLINE_MIN = 390, 230
     EST_QUERIES_FULL, EST_QUERIES_MIN = 150, 60
     MARGIN = 90
     tail_full = EST_HEADLINE_FULL + EST_QUERIES_FULL + MARGIN
@@ -790,26 +796,38 @@ def main():
                         )
                     }
                     _phase_done("scaling_secondary", t_ph)
-            # ADAPTIVE cooldown: the box recovers from sustained-load
-            # throttle on a minutes timescale, and fixed sleeps (120s,
-            # 300s) both proved too short — headline passes kept
-            # reading 48-69s during recovery vs 14-17s recovered.
-            # Poll the FULL-WIDTH raw-CPU probe until it is back to
-            # >=90% of the bench-start reading, bounded by BOTH the
-            # env cap and what the budget can spare after reserving
-            # the headline tail (shedding order: cooldown is cut
-            # before headline passes are).
+            # Cooldown between the scaling burn and the headline: the
+            # box recovers from sustained-load throttle on a minutes
+            # timescale.  TWO parts, because the throttle is LOAD-
+            # DURATION-dependent and a ~1s probe burst cannot always
+            # see it (measured r5: the wide probe read ABOVE fresh
+            # immediately after an 827s scaling burn while all five
+            # headline passes then ran 3-8x slow in certified-bad
+            # windows): (1) an UNCONDITIONAL floor sleep whenever the
+            # scaling burn ran, budget permitting; (2) the adaptive
+            # probe poll up to the env cap for the windows the probe
+            # CAN see.  The budget bound reserves the MINIMUM tail
+            # (not the full one): r5 measured that trading the 4th/5th
+            # headline passes for a real cooldown is the better deal —
+            # zero cooldown cost the whole pass set its probe
+            # certification.
             t_ph = time.time()
             env_cap = int(os.environ.get("PSL_BENCH_COOLDOWN_CAP_SEC", "900"))
-            cap = max(0.0, min(env_cap, remaining() - tail_full))
+            spare = remaining() - (tail_min + 50)
+            floor_sleep = max(0.0, min(180.0, spare))
+            if floor_sleep:
+                time.sleep(floor_sleep)
+            cap = max(0.0, min(env_cap, spare - floor_sleep))
             if cap < env_cap:
                 _shed("cooldown_cap", cap_sec=round(cap, 1),
+                      floor_sleep_sec=round(floor_sleep, 1),
                       env_cap=env_cap, reason="budget")
             s = settle_until_fresh(probe_fresh_wide, cap, frac=0.9,
                                    interval=30)
             detail["cooldown"] = {
                 "probe_fresh_wide": probe_fresh_wide,
                 "probe_resumed_wide": s["probe"],
+                "floor_sleep_sec": round(floor_sleep, 1),
                 "waited_sec": s["waited_sec"],
                 "cap_sec": round(cap, 1),
             }
@@ -863,6 +881,10 @@ def main():
             RESULT["headline_passes_kept"] = len(pipe.get("passes", [1]))
             RESULT["headline_passes_discarded"] = len(
                 pipe.get("discarded_passes", []))
+            if pipe.get("fallback_unfiltered"):
+                # every pass was probe-certified-bad and the set was
+                # folded back — the judge-facing line must say so
+                RESULT["headline_fallback_unfiltered"] = True
         _phase_done("headline", t_ph)
 
         t_ph = time.time()
