@@ -30,7 +30,12 @@ Env:
                        job demands ~2x4N active threads and the box
                        saturates at ~13 effective cores, so 2->8
                        measures the hypervisor, not the plan)
-  PSL_BENCH_SCALE_REPS interleaved N/4N rep pairs (default 3)
+  PSL_BENCH_SCALE_REPS interleaved N/4N rep pairs (default 3; the rep
+                       loop stops early when the budget cannot cover
+                       another rep PLUS the cooldown+tail reserve)
+  PSL_BENCH_SCALE_MID  default 0: also run the 2N mid level once
+                       (monotonicity garnish — its ~80-100s is spent
+                       on the post-scaling cooldown instead)
   PSL_BENCH_SCALE_PASSES in-process passes per level per rep; the
                        fastest is kept (default 2)
   PSL_BENCH_SCALE_ROWS_MULT  scaling corpus = headline rows x this
@@ -48,7 +53,11 @@ Env:
   PSL_BENCH_COOLDOWN_CAP_SEC cap on the adaptive probe-until-recovered
                        cooldown between scaling and headline (default
                        900; additionally bounded by the budget after
-                       reserving the headline+queries tail)
+                       reserving the headline+queries tail).  The
+                       cooldown is a 300s unconditional floor plus a
+                       SUSTAINED-probe (~10s full-width burn) poll:
+                       the ~1s burst probe reads scheduler credit and
+                       twice certified a still-throttled box (r5)
   PSL_BENCH_SCALE_SECONDARY default 1: also run the legacy 2->8 window
                        (2 reps, no mid level) as secondary scaling
                        evidence; set 0 to skip
@@ -85,6 +94,11 @@ RESULT: dict = {}
 DETAIL: dict = {}
 _EMITTED = {"done": False}
 _MAIN_PID = os.getpid()
+# bench IO dir, for signal-path cleanup: the normal `finally: rmtree`
+# never runs when _signal_emit os._exit()s, and on the tmpfs default a
+# leaked run holds hundreds of MB of RAM (r4's SIGKILLed driver run
+# left 602 MB in /dev/shm)
+_TMP_DIR: str | None = None
 
 
 def elapsed() -> float:
@@ -193,6 +207,8 @@ def _signal_emit(signum, frame):
     if os.getpid() != _MAIN_PID:
         os._exit(0)
     emit_final(partial=True, reason=f"signal_{signum}", from_signal=True)
+    if _TMP_DIR:  # best-effort: os._exit skips the finally-rmtree
+        shutil.rmtree(_TMP_DIR, ignore_errors=True)
     os._exit(0)
 
 
@@ -309,7 +325,10 @@ def pipeline_run(spark, n_rows: int, out_dir: str, warmup: bool = True,
     DISCARDED and redone (bounded by `max_redos`; a bounded
     poll-until-recovered sleep runs before each redo).  Discards are
     one-sided-honest: only probe-certified-bad windows are dropped — a
-    slow pass on a healthy box is a real observation and is kept.
+    slow pass on a healthy box is a real observation and is kept, and
+    a fastest-so-far pass is kept even when its probes read bad
+    (interference can only slow a pass, never fake a fast one; the
+    flag kept_fast_despite_probe records the override).
     Fold-back happens only when ZERO clean passes exist when the redo
     budget runs dry (then the discarded passes are reported with
     fallback_unfiltered=True — evidence either way, never a crash); if
@@ -435,11 +454,23 @@ def pipeline_run(spark, n_rows: int, out_dir: str, warmup: bool = True,
             # let the pass's own burn drain before probing — an
             # immediate probe reads the pass's thermal shadow (deep
             # after a long pass) and would mis-attribute it to the
-            # window; 10s matches the teardown drain the scaling reps
-            # already use
-            time.sleep(10)
+            # window (r5 measured: 10s was not enough — a healthy
+            # 18.7s pass, the fastest of the run, was discarded on a
+            # post-probe still reading its own 32-core burn)
+            time.sleep(30)
             p_after = probe()
-            if min(p_before, p_after) >= floor:
+            ok = min(p_before, p_after) >= floor
+            if not ok:
+                # one-sided override: interference can only SLOW a
+                # pass, never fake a fast one — a pass that is the
+                # fastest seen so far is self-certifying regardless of
+                # what its bracketing probes read (they may be reading
+                # neighbors' shadows or its own)
+                prior = [x["total_sec"] for x in results + discarded]
+                if prior and r["total_sec"] <= min(prior):
+                    ok = True
+                    r["kept_fast_despite_probe"] = True
+            if ok:
                 r["probe_before"], r["probe_after"] = p_before, p_after
                 results.append(r)
                 p_before = p_after
@@ -470,7 +501,13 @@ def pipeline_run(spark, n_rows: int, out_dir: str, warmup: bool = True,
         else:
             fallback = False
     ranked = sorted(results, key=lambda r: r["total_sec"])
-    out = dict(ranked[0] if pick == "min" else ranked[len(ranked) // 2])
+    # median over an EVEN count takes the lower middle: interference is
+    # one-sided (a pass only ever reads slow, never fast), so of the
+    # two middle observations the slower is the likelier-polluted one
+    # (r5: 2 kept passes [64.9, 19.0] — the old upper-middle reported
+    # the 3.4x-throttled pass as "the" median)
+    out = dict(ranked[0] if pick == "min"
+               else ranked[(len(ranked) - 1) // 2])
     if len(results) > 1:
         out["passes"] = [r["total_sec"] for r in results]
     if probe_gate is not None:
@@ -680,6 +717,17 @@ def main():
     probe_fresh_wide = max([p1, detail["probe_at_start"], *settle_readings])
     detail["probe_fresh_wide"] = probe_fresh_wide
     detail["probe_fresh_pair"] = [p1, *settle_readings[-1:]]
+    # SUSTAINED fresh anchor (~10s of full-width burn): the throttle is
+    # load-DURATION-dependent, so a ~1s burst runs on scheduler credit
+    # and reads healthy while sustained work is still being squeezed
+    # (measured twice in r5: burst probe >=0.93x fresh right after the
+    # scaling burn, then headline passes 3x slow).  The cooldown's
+    # recovered-check polls THIS workload against THIS anchor — like
+    # must anchor like.
+    probe_fresh_sustained = None
+    if do_heavy:
+        probe_fresh_sustained = cpu_probe(CPUS, units=CPUS * 240)
+        detail["probe_fresh_sustained"] = probe_fresh_sustained
     _phase_done("settle", t_ph)
 
     # config matrix BEFORE any Spark work (r4 verdict #4: pure-Python,
@@ -714,11 +762,17 @@ def main():
     # Conservative point estimates calibrated from committed artifacts
     # (headline: ~25s Spark start + ~25s warmup + passes x ~15s + 2
     # isolated probes x ~5s per pass; queries: ~12s/round at sf0.1).
-    EST_HEADLINE_FULL, EST_HEADLINE_MIN = 390, 230
+    EST_HEADLINE_FULL, EST_HEADLINE_MIN = 480, 300
     EST_QUERIES_FULL, EST_QUERIES_MIN = 150, 60
     MARGIN = 90
     tail_full = EST_HEADLINE_FULL + EST_QUERIES_FULL + MARGIN
     tail_min = EST_HEADLINE_MIN + EST_QUERIES_MIN + MARGIN
+    # the post-scaling cooldown is RESERVED alongside the tail when the
+    # scaling rep loop decides whether it can afford another rep: r5
+    # measured twice that a squeezed cooldown (0s, then 104s) poisons
+    # the first 1-2 headline passes 3x while a 300-420s one yields five
+    # clean passes — the cooldown is not slack, it is a phase
+    COOLDOWN_FLOOR = 300
 
     # bench IO lives on tmpfs when available: the plan under test is
     # CPU/shuffle-bound (a real deployment writes to an object store /
@@ -727,7 +781,8 @@ def main():
     tmp_base = os.environ.get(
         "PSL_BENCH_TMPDIR", "/dev/shm" if os.path.isdir("/dev/shm") else None
     )
-    tmp = tempfile.mkdtemp(prefix="pysyslog-bench-", dir=tmp_base)
+    global _TMP_DIR
+    tmp = _TMP_DIR = tempfile.mkdtemp(prefix="pysyslog-bench-", dir=tmp_base)
     try:
         # SCALING FIRST, on the freshest box: this sandbox throttles
         # under sustained load (measured 2026-08-16: the identical
@@ -746,7 +801,7 @@ def main():
         if do_heavy:
             t_ph = time.time()
             scaling = run_scaling(tmp, n_rows, fresh_wide=probe_fresh_wide,
-                                  tail_reserve=tail_min)
+                                  tail_reserve=tail_min + COOLDOWN_FLOOR)
             detail["scaling"] = scaling
             RESULT["scaling"] = {
                 k: scaling[k]
@@ -814,7 +869,7 @@ def main():
             t_ph = time.time()
             env_cap = int(os.environ.get("PSL_BENCH_COOLDOWN_CAP_SEC", "900"))
             spare = remaining() - (tail_min + 50)
-            floor_sleep = max(0.0, min(180.0, spare))
+            floor_sleep = max(0.0, min(float(COOLDOWN_FLOOR), spare))
             if floor_sleep:
                 time.sleep(floor_sleep)
             cap = max(0.0, min(env_cap, spare - floor_sleep))
@@ -822,11 +877,16 @@ def main():
                 _shed("cooldown_cap", cap_sec=round(cap, 1),
                       floor_sleep_sec=round(floor_sleep, 1),
                       env_cap=env_cap, reason="budget")
-            s = settle_until_fresh(probe_fresh_wide, cap, frac=0.9,
-                                   interval=30)
+            # recovered-check uses the SUSTAINED probe against the
+            # sustained fresh anchor: the burst probe certified a
+            # still-throttled box as recovered twice in r5 (it reads
+            # scheduler burst credit, not sustained capacity)
+            s = settle_until_fresh(
+                probe_fresh_sustained, cap, frac=0.85, interval=45,
+                probe_fn=lambda: cpu_probe(CPUS, units=CPUS * 240))
             detail["cooldown"] = {
-                "probe_fresh_wide": probe_fresh_wide,
-                "probe_resumed_wide": s["probe"],
+                "probe_fresh_sustained": probe_fresh_sustained,
+                "probe_resumed_sustained": s["probe"],
                 "floor_sleep_sec": round(floor_sleep, 1),
                 "waited_sec": s["waited_sec"],
                 "cap_sec": round(cap, 1),
@@ -999,7 +1059,7 @@ def parse_pri_ab(n: int = 20000) -> dict:
 
 
 def run_scaling(tmp: str, n_rows: int, n_small: int | None = None,
-                reps: int | None = None, include_mid: bool = True,
+                reps: int | None = None, include_mid: bool | None = None,
                 fresh_wide: float | None = None,
                 tail_reserve: float = 350) -> dict:
     """Two-cluster-size scaling evidence (north rule: >=0.8 efficiency
@@ -1044,6 +1104,11 @@ def run_scaling(tmp: str, n_rows: int, n_small: int | None = None,
 
     if n_small is None:
         n_small = int(os.environ.get("PSL_BENCH_SCALE_N", "1"))
+    if include_mid is None:
+        # default OFF (r5): the 2N level is monotonicity garnish, not
+        # the N->4N ratio, and its ~80-100s is better spent on the
+        # post-scaling cooldown the headline needs
+        include_mid = os.environ.get("PSL_BENCH_SCALE_MID", "0") == "1"
     # the scaling input reuses the headline corpus size by default
     # (SAME input at every level); with N=1 the small level already
     # runs minutes-long stages, so fixed per-job costs (scheduling,

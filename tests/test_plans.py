@@ -65,6 +65,28 @@ def test_minhash_signatures_shuffle_free(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_embedding_near_dup_is_banded_bucket_join(spark):
+    """The embedding near-dup candidate stage must be a bucket
+    equi-join on (band, signature) — never a cartesian/nested-loop
+    pairing — and must carry the multi-band posexplode (the round-4
+    single-band form had cliff recall and a quadratic within-bucket
+    hazard; see similarity.py:embedding_near_dup_pairs docstring)."""
+    from pysyslog.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(embedding_near_dup_pairs(emb, dim=64, n_bands=4,
+                                          rows_per_band=16))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # candidate join is keyed on BOTH the band index and the band
+    # signature (per-band bucket join, 2^rows_per_band buckets/band)
+    join_lines = [ln for ln in plan.splitlines()
+                  if "Join" in ln and "__sig" in ln]
+    assert join_lines and all("__band" in ln for ln in join_lines), plan
+    # the banding explode is present (one row per band per vector)
+    assert "posexplode" in plan or "Generate" in plan, plan
+
+
 def test_tokens_column_prunes_through_udf_projection(spark):
     """Selecting one parsed field must not force the scan to read other
     table columns (UDF input column excepted)."""
