@@ -89,10 +89,20 @@ def render(detail: dict) -> str:
                               "over-subscribed by design)"))
     cd = detail.get("cooldown")
     if cd:
-        lines.append(
-            f"- **Cooldown before headline**: fresh wide probe "
-            f"{cd['probe_fresh_wide']}, resumed {cd['probe_resumed_wide']} "
-            f"after {cd['waited_sec']}s.")
+        if "probe_fresh_sustained" in cd:
+            # r5+ artifacts: the recovered-check is a sustained-probe
+            # poll after an unconditional floor sleep
+            lines.append(
+                f"- **Cooldown before headline**: floor sleep "
+                f"{cd.get('floor_sleep_sec', 0)}s, then sustained probe "
+                f"{cd['probe_resumed_sustained']} vs fresh anchor "
+                f"{cd['probe_fresh_sustained']} — recovered after "
+                f"{cd['waited_sec']}s of polling.")
+        else:
+            lines.append(
+                f"- **Cooldown before headline**: fresh wide probe "
+                f"{cd['probe_fresh_wide']}, resumed "
+                f"{cd['probe_resumed_wide']} after {cd['waited_sec']}s.")
     cm = detail.get("config_matrix_rows_per_sec_1core")
     if cm:
         order = sorted(cm, key=cm.get, reverse=True)
