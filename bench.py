@@ -199,8 +199,12 @@ def emit_final(partial: bool = False, reason: str | None = None,
                                               "update_baseline_prose.py")],
                 check=True, capture_output=True, timeout=120,
             )
-        except Exception:
-            pass
+        except Exception as e:
+            # best-effort, but never silent: a renderer bug once left
+            # the committed BASELINE.md auto block three runs stale
+            # (r5) — the stdout contract is unaffected, stderr is not
+            print(f"WARN update_baseline_prose failed: {e!r}",
+                  file=sys.stderr, flush=True)
     print(line, flush=True)
 
 

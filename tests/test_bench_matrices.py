@@ -54,3 +54,58 @@ def test_date_cohorts_are_pure(bench_mod):
             assert iso_re.match(line), (src, line[:60])
         elif src.startswith("bsd_"):
             assert bsd_re.match(line), (src, line[:60])
+
+
+@pytest.fixture(scope="module")
+def prose_mod():
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "update_baseline_prose.py")
+    spec = importlib.util.spec_from_file_location("baseline_prose", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_prose_renders_committed_artifact(prose_mod):
+    """render() must handle the CURRENT committed artifact — the bench
+    invokes the renderer best-effort at the end of every headline run,
+    so a renderer/artifact schema drift fails silently there and the
+    committed BASELINE.md auto block goes stale (it happened in r5:
+    the cooldown key rename broke it for three runs)."""
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "BENCH_DETAIL.json")) as fh:
+        detail = json.load(fh)
+    block = prose_mod.render(detail)
+    assert "**Headline**" in block
+    assert "lines/s" in block
+    assert "Scaling (primary" in block
+    # every committed artifact since r4 carries the budget section
+    assert "Wall-clock budget" in block
+
+
+def test_prose_renders_both_cooldown_generations(prose_mod):
+    """Pre-r5 artifacts record a burst-probe cooldown
+    (probe_fresh_wide/probe_resumed_wide); r5+ record the
+    sustained-probe floor (probe_fresh_sustained/...).  Both must
+    render."""
+    base = {
+        "sf": 0.1, "cpus": 32,
+        "pipeline": {"rows": 600000, "total_sec": 12.0,
+                     "lines_per_sec": 50000.0, "parse_enrich_sec": 4.0,
+                     "route_sec": 4.0, "agg_sec": 3.0},
+    }
+    old = dict(base, cooldown={"probe_fresh_wide": 11000.0,
+                               "probe_resumed_wide": 10500.0,
+                               "waited_sec": 420})
+    new = dict(base, cooldown={"probe_fresh_sustained": 9000.0,
+                               "probe_resumed_sustained": 9500.0,
+                               "floor_sleep_sec": 300.0,
+                               "waited_sec": 0.0})
+    assert "Cooldown before headline" in prose_mod.render(old)
+    assert "sustained probe" in prose_mod.render(new)
