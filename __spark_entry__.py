@@ -118,9 +118,8 @@ def q_parse_kv(spark, sf_dir):
     )
 
 
-def q_multiline_reassembly(spark, sf_dir):
-    ev = _read(spark, sf_dir, "events")
-    lines = ev.select(
+def _multiline_lines(ev):
+    return ev.select(
         F.concat(F.lit("f"), (F.col("user_id") % 4).cast("string")).alias("source"),
         F.col("event_id").alias("line_no"),
         F.when(
@@ -135,7 +134,25 @@ def q_multiline_reassembly(spark, sf_dir):
         )
         .alias("line"),
     )
+
+
+def q_multiline_reassembly(spark, sf_dir):
+    lines = _multiline_lines(_read(spark, sf_dir, "events"))
     return reassemble(lines).select("source", "record_no", "raw")
+
+
+def q_multiline_parallel(spark, sf_dir):
+    """Intra-source parallel reassembly (pysyslog/multiline.py
+    reassemble_parallel, r5 verdict #4): same lines, same oracle SQL as
+    multiline_reassembly — the output must be invariant to the chunked
+    window decomposition, chunk-spanning records included.  chunk_rows
+    is set well below the per-source line count so the chunking is real
+    at every SF the driver runs."""
+    from pysyslog.multiline import reassemble_parallel
+
+    lines = _multiline_lines(_read(spark, sf_dir, "events"))
+    return reassemble_parallel(lines, chunk_rows=512).select(
+        "source", "record_no", "raw")
 
 
 # --------------------------------------------------------------------------
@@ -767,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_fmtdate": q_parse_fmtdate,
         "parse_timefmt": q_parse_timefmt,
         "multiline_reassembly": q_multiline_reassembly,
+        "multiline_parallel": q_multiline_parallel,
         "enrich_broadcast": q_enrich_broadcast,
         "agg_hourly": q_agg_hourly,
         "agg_salted": q_agg_salted,
@@ -1229,7 +1247,7 @@ def _simhash_near_dups_sql(max_hamming: int = 3, bits: int = 64) -> str:
 
 def oracle_sql() -> dict[str, str]:
     pri = "(event_id % 192)"
-    return {
+    out = {
         "parse_pri": f"""
             SELECT event_id,
                    {pri}::int AS preamble,
@@ -1570,3 +1588,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored QUALIFY rank <= 5
         """,
     }
+    # the parallel (chunk-decomposed) reassembly must be output-
+    # invariant to the serial windowed form — SAME oracle by design
+    out["multiline_parallel"] = out["multiline_reassembly"]
+    return out

@@ -11,15 +11,18 @@ in order.  The window partitions by source/file, so parallelism is
 per-source (bounded state, no global ordering).  The streaming version
 lives in pysyslog.streaming.
 
-Scale contract: ONE source serializes into ONE task — per-source line
-ordering is the semantics (a continuation line belongs to the record
-started on ITS stream), so it cannot be parallelized within a source
-without breaking reassembly.  Throughput scales with the NUMBER of
-sources, which in a real log estate is large (hosts × files); a single
-giant source is the degenerate case and would bottleneck any engine
-with these semantics, including the reference's sequential reader.
-The streaming version (pysyslog/streaming.py) shares this contract via
-its groupBy("source") state partitioning.
+Scale contract: in `reassemble`, ONE source serializes into ONE task —
+per-source line ordering is the semantics (a continuation line belongs
+to the record started on ITS stream).  Throughput scales with the
+NUMBER of sources, which in a real log estate is large (hosts ×
+files).  For the degenerate single-giant-source case,
+`reassemble_parallel` splits each source into line-number chunks and
+decomposes the running-sum group id exactly (per-chunk window + a
+broadcast of per-chunk record-start offsets), so the window stage runs
+one task per CHUNK and the final (source, grp) hash shuffle stitches
+chunk-spanning records — identical output, including record_no.
+The streaming version (pysyslog/streaming.py) keeps the per-source
+contract via its groupBy("source") state partitioning.
 """
 
 from __future__ import annotations
@@ -30,23 +33,17 @@ from .options import ParserOptions
 from .parser import parse_syslog
 
 
-def reassemble(
-    df: DataFrame,
-    source_col: str = "source",
-    line_no_col: str = "line_no",
-    line_col: str = "line",
-) -> DataFrame:
-    """lines(source, line_no, line) -> records(source, record_no, raw)."""
-    is_start = (~F.col(line_col).rlike(r"^\s")).cast("long")
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(line_no_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    grouped = df.withColumn("__grp", F.sum(is_start).over(w))
-    # __grp == 0 -> leading continuation lines with no record start:
-    # the reference leaves them in its buffer forever; we drop them.
-    recs = (
+def _is_start(line_col: str):
+    # any non-whitespace-led line starts a record ⇔ Line.pm:1051-1053
+    return (~F.col(line_col).rlike(r"^\s")).cast("long")
+
+
+def _records_from_groups(grouped: DataFrame, source_col: str,
+                         line_no_col: str, line_col: str) -> DataFrame:
+    """(source, __grp, line_no, line) -> (source, record_no, raw).
+    __grp == 0 -> leading continuation lines with no record start: the
+    reference leaves them in its buffer forever; we drop them."""
+    return (
         grouped.filter(F.col("__grp") > 0)
         .groupBy(source_col, "__grp")
         .agg(
@@ -63,7 +60,80 @@ def reassemble(
         )
         .withColumnRenamed("__grp", "record_no")
     )
-    return recs
+
+
+def reassemble(
+    df: DataFrame,
+    source_col: str = "source",
+    line_no_col: str = "line_no",
+    line_col: str = "line",
+) -> DataFrame:
+    """lines(source, line_no, line) -> records(source, record_no, raw)."""
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(line_no_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = df.withColumn("__grp", F.sum(_is_start(line_col)).over(w))
+    return _records_from_groups(grouped, source_col, line_no_col, line_col)
+
+
+def reassemble_parallel(
+    df: DataFrame,
+    source_col: str = "source",
+    line_no_col: str = "line_no",
+    line_col: str = "line",
+    chunk_rows: int = 100_000,
+) -> DataFrame:
+    """`reassemble` for the giant-source degenerate case (r5 verdict
+    #4): identical output — including record_no — with the window stage
+    running one task per (source, line-number CHUNK) instead of one per
+    source.
+
+    The global group id `sum(is_start) OVER (source ORDER BY line_no)`
+    decomposes exactly: chunk = floor(line_no / chunk_rows) is monotone
+    in line_no, so grp = (record starts in earlier chunks) + (running
+    starts within this chunk).  The first term is a per-chunk total —
+    one row per chunk, aggregated small and broadcast back — so no
+    chunk ever waits on another's scan.  A record that spans chunk
+    boundaries (its continuations fall in later chunks, where they see
+    zero local starts and inherit the offset) gets the SAME grp in
+    every fragment, and the downstream (source, grp) hash shuffle of
+    the group-assembly stage stitches it with no special casing — even
+    a record spanning many whole chunks.  Leading continuations of the
+    whole source get grp 0 and are dropped, exactly like `reassemble`.
+
+    Size chunk_rows so the offsets side stays broadcastable: it holds
+    ONE row per (source, chunk), so at 10^12 lines the 100k default
+    yields 10^7 tiny rows (~100 MB) — raise chunk_rows if the line
+    count per giant source grows past that.  The offsets window itself
+    runs over those same tiny rows, never the data.
+    """
+    start = _is_start(line_col)
+    chunked = df.withColumn(
+        "__chunk", F.floor(F.col(line_no_col) / F.lit(chunk_rows)))
+    w_in = (
+        Window.partitionBy(source_col, "__chunk")
+        .orderBy(line_no_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = chunked.groupBy(source_col, "__chunk").agg(
+        F.sum(start).alias("__starts"))
+    w_prev = (
+        Window.partitionBy(source_col)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        source_col, "__chunk",
+        F.coalesce(F.sum("__starts").over(w_prev), F.lit(0)).alias("__off"),
+    )
+    grouped = (
+        chunked.withColumn("__lgrp", F.sum(start).over(w_in))
+        .join(F.broadcast(offsets), [source_col, "__chunk"])
+        .withColumn("__grp", F.col("__lgrp") + F.col("__off"))
+    )
+    return _records_from_groups(grouped, source_col, line_no_col, line_col)
 
 
 def parse_multiline(

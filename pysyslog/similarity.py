@@ -221,6 +221,19 @@ def banded_signature_udf(dim: int, n_bands: int, rows_per_band: int,
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, IntegerType
 
+    # fail at construction, not silently at scale (ADVICE r5): band
+    # signatures are sign bits packed into a SIGNED int32, so r=31 is
+    # the last width whose max weighted sum (2^31-1) still fits —
+    # r>=32 would wrap on the astype("int32") while the DuckDB oracle
+    # replay (unbounded HUGEINT arithmetic) would not, a silent
+    # divergence no error ever surfaces
+    if not 1 <= rows_per_band <= 31:
+        raise ValueError(
+            f"rows_per_band must be in [1, 31], got {rows_per_band}: "
+            "per-band signatures are int32-packed sign bits")
+    if n_bands < 1:
+        raise ValueError(f"n_bands must be >= 1, got {n_bands}")
+
     r = rows_per_band
     planes = np.stack([_plane(dim, p, seed) for p in range(n_bands * r)])
 

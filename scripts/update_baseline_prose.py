@@ -77,6 +77,16 @@ def render(detail: dict) -> str:
                 + (" **fallback_unfiltered** (no clean window found)."
                    if pipe.get("fallback_unfiltered") else "")
             )
+        if "kept_spread_ratio" in pipe:
+            # r6: spread flag + the one-sided-adjustment magnitude
+            # (ADVICE r5 — plain medians next to the reported one)
+            lines.append(
+                f"  Kept-pass spread max/min {pipe['kept_spread_ratio']}×"
+                + (f" (was {pipe.get('kept_spread_ratio_before_redo')}× "
+                   "before the >3× spread redo pass)"
+                   if pipe.get("spread_redo_ran") else "")
+                + f"; unadjusted medians: true {pipe.get('median_kept_true')}s,"
+                f" incl. discarded {pipe.get('median_all_incl_discarded')}s.")
         st = [pipe.get("parse_enrich_sec"), pipe.get("route_sec"),
               pipe.get("agg_sec")]
         if all(st):

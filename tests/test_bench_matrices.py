@@ -109,3 +109,45 @@ def test_prose_renders_both_cooldown_generations(prose_mod):
                                "waited_sec": 0.0})
     assert "Cooldown before headline" in prose_mod.render(old)
     assert "sustained probe" in prose_mod.render(new)
+
+
+def test_main_crash_path_emits_partial(bench_mod, monkeypatch):
+    """ADVICE r5: an unhandled exception inside the bench body must
+    still produce the partial compact line (the r4 silent-exit failure
+    mode via the crash door, not the signal door)."""
+    calls = []
+    monkeypatch.setattr(bench_mod, "emit_final",
+                        lambda **kw: calls.append(kw))
+
+    def boom():
+        raise RuntimeError("spark died mid-headline")
+
+    monkeypatch.setattr(bench_mod, "_main_body", boom)
+    with pytest.raises(RuntimeError):
+        bench_mod.main()
+    assert calls and calls[0]["partial"] is True
+    assert "spark died mid-headline" in calls[0]["reason"]
+
+
+def test_pipeline_run_probe_gate_records_spread_and_plain_medians(
+        bench_mod, spark, tmp_path, monkeypatch):
+    """r5 verdict #2 + ADVICE r5: the probe-gated headline must record
+    the kept-pass spread ratio, the spread-redo decision, and the
+    UNADJUSTED medians (true/upper/including-discarded) alongside the
+    reported lower-middle median."""
+    monkeypatch.setattr(bench_mod.time, "sleep", lambda s: None)
+    gate = {"probe": lambda: 1.0, "fresh": 1.0, "threshold": 0.0,
+            "max_redos": 0, "recover_cap_sec": 0}
+    out = bench_mod.pipeline_run(
+        spark, 3000, str(tmp_path / "io"), warmup=False, passes=2,
+        probe_gate=gate)
+    assert out["spread_redo_ran"] is False
+    assert out["kept_spread_ratio_before_redo"] >= 1.0
+    assert out["kept_spread_ratio"] >= 1.0
+    ks = sorted(out["passes"])
+    assert out["median_kept_upper"] == ks[len(ks) // 2]
+    expected_true = sum(ks[:2]) / 2 if len(ks) == 2 else ks[len(ks) // 2]
+    assert out["median_kept_true"] == pytest.approx(expected_true, abs=5e-4)
+    assert out["median_all_incl_discarded"] >= min(ks)
+    # reported value stays the lower-middle median on even counts
+    assert out["total_sec"] == ks[(len(ks) - 1) // 2]

@@ -90,3 +90,44 @@ def test_streaming_reassembly(spark, tmp_path):
     # the last record stays buffered until timeout — first two flush
     assert rows[1] == "\n".join(LINES[0:3])
     assert rows[2] == LINES[3]
+
+
+def test_parallel_reassemble_matches_windowed_on_one_giant_source(spark):
+    """r5 verdict #4: a single giant source must (a) split across >1
+    window task and (b) produce records — record_no included — identical
+    to the serial windowed form, with records that span chunk
+    boundaries (including a record longer than a whole chunk, whose
+    middle chunk contains NO record start) stitched exactly."""
+    import random
+
+    from pysyslog.multiline import reassemble_parallel
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(600):
+        if i == 0 or (i % 10 not in (3, 4) and rng.random() > 0.3):
+            rows.append(("giant", i, f"May 19 22:03:29 h p: rec {i}"))
+        else:
+            rows.append(("giant", i, f"  cont {i}"))
+    # one record spanning several whole chunks: a start followed by 25
+    # continuations with chunk_rows=10 below -> two all-continuation
+    # chunks in the middle
+    rows.append(("giant", 600, "May 19 22:03:30 h p: long record"))
+    rows += [("giant", 601 + j, f"\tstack {j}") for j in range(25)]
+    rows.append(("giant", 626, "May 19 22:03:31 h p: after"))
+    # a second source with a leading orphan continuation (grp-0 drop)
+    rows += [("tiny", 0, "  orphan"), ("tiny", 1, "May 19 22:03:29 h p: x")]
+    df = spark.createDataFrame(
+        rows, "source string, line_no long, line string").repartition(8)
+
+    serial = {(r["source"], r["record_no"]): r["raw"]
+              for r in reassemble(df).collect()}
+    par = reassemble_parallel(df, chunk_rows=10)
+    got = {(r["source"], r["record_no"]): r["raw"] for r in par.collect()}
+    assert got == serial and len(got) > 100
+    assert ("tiny", 0) not in got
+
+    # the window stage is partitioned by (source, chunk): >1 task per
+    # giant source (the plan carries __chunk in the window spec)
+    plan = par._jdf.queryExecution().executedPlan().toString()
+    assert "__chunk" in plan

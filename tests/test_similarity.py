@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from pysyslog.similarity import (
+    banded_signature_udf,
     brute_force_topk,
     cosine,
     embedding_near_dup_pairs,
@@ -165,3 +166,17 @@ def test_ivf_recall_vs_brute_force_on_test_embeddings(spark):
         as_.setdefault(r["query_id"], set()).add(r["vec_id"])
     recalls = [len(es[q] & as_.get(q, set())) / 5 for q in es]
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_banded_signature_udf_rejects_wrapping_band_width():
+    """ADVICE r5: r>=32 would silently wrap the int32-packed band
+    signature while the DuckDB oracle (HUGEINT) would not — the
+    divergence must be a construction-time error, not a hash mismatch
+    three stages later."""
+    with pytest.raises(ValueError, match=r"rows_per_band"):
+        banded_signature_udf(64, 2, 32)
+    with pytest.raises(ValueError, match=r"rows_per_band"):
+        banded_signature_udf(64, 2, 0)
+    with pytest.raises(ValueError, match=r"n_bands"):
+        banded_signature_udf(64, 0, 8)
+    banded_signature_udf(64, 2, 31)  # boundary: max non-wrapping width
