@@ -809,22 +809,36 @@ def _main_body():
     # uncertified box once and the reference-ordering claim scrambled)
     t_ph = time.time()
     for attempt in range(2):
+        t_att = time.time()
         pb = cpu_probe(CPUS, units=CPUS * 24)
         cm = config_matrix()
         dm = date_cohort_matrix()
         pa = cpu_probe(CPUS, units=CPUS * 24)
+        att_wall = time.time() - t_att
         window_ok = min(pb, pa) >= 0.8 * probe_fresh_wide
         detail["config_matrix_rows_per_sec_1core"] = cm
         detail["date_cohort_rows_per_sec_1core"] = dm
         detail["config_matrix_probes"] = {
             "before": pb, "after": pa, "attempt": attempt + 1,
-            "window_ok": window_ok,
+            "window_ok": window_ok, "wall_sec": round(att_wall, 1),
         }
         if window_ok or not do_heavy or remaining() < BUDGET * 0.8:
             if not window_ok and do_heavy:
                 _shed("config_matrix_redo", reason="budget")
             break
-        time.sleep(120)
+        if att_wall > 45:
+            # r6 measured: a throttled window runs the single-core
+            # matrices 3-4x slow (272.8s phase vs 17.8s rested), the
+            # redo re-failed certification in the same weather, and
+            # those ~185s priced the THIRD scaling rep out of the
+            # budget.  window_ok=False on the kept numbers is the
+            # honest record; the scaling phase needs the seconds more.
+            _shed("config_matrix_redo", reason="slow_window",
+                  attempt_wall_sec=round(att_wall, 1))
+            break
+        # probe-driven wait (cap = the old fixed 120s sleep): on a
+        # recovering box the redo starts as soon as the throttle lifts
+        settle_until_fresh(probe_fresh_wide, 120, frac=0.85, interval=30)
     # r3 verdict #6: one-line root-cause evidence for the parse_pri
     # drift — master-regex cost on the pure PRI+BSD cohort vs the
     # round-2 minimal shape
@@ -841,7 +855,10 @@ def _main_body():
     # 300+60 reserve was ~75s of padding on top of MARGIN, and that
     # padding is exactly what priced the third scaling rep out of the
     # r5 budget (shed at rep_est 336.7 vs 787.5 remaining)
-    EST_HEADLINE_FULL, EST_HEADLINE_MIN = 480, 270
+    # r6 first run measured the MIN tail at 197s actual (headline 165.8
+    # at 3 passes, queries 31.4 at 3 rounds) — 240+45+90 keeps ~1.9x
+    # headroom over measured while freeing the rep gate another 30s
+    EST_HEADLINE_FULL, EST_HEADLINE_MIN = 480, 240
     EST_QUERIES_FULL, EST_QUERIES_MIN = 150, 45
     MARGIN = 90
     tail_full = EST_HEADLINE_FULL + EST_QUERIES_FULL + MARGIN
@@ -1268,6 +1285,17 @@ def run_scaling(tmp: str, n_rows: int, n_small: int | None = None,
         settle_evidence.append(s["waited_sec"])
         return s
 
+    def _probe_max2(procs):
+        # a probe reading is one-sided, exactly like a pass: the fixed
+        # pure-CPU workload can only be SLOWED by interference, never
+        # inflated, so the max of two back-to-back ~1s readings is the
+        # better estimate of the window's ceiling.  The r6 first run
+        # measured why this matters: a single depressed 1-proc reading
+        # (359.5 vs 515/588 sibling readings in the same minutes)
+        # tripped the >1.1 implausibility gate and discarded a ~141s
+        # rep whose passes were the day's healthiest.
+        return max(cpu_probe(procs), cpu_probe(procs))
+
     while len(runs[n_small]) < reps and attempts < reps * 2 + 2:
         # budget gate: never start a rep the clock can't pay for — but
         # always run at least one (the north rule needs a ratio)
@@ -1281,7 +1309,7 @@ def run_scaling(tmp: str, n_rows: int, n_small: int | None = None,
         attempts += 1
         t_att = time.time()
         _settle()
-        p_lo = cpu_probe(n_small)
+        p_lo = _probe_max2(n_small)
         # ALTERNATE which level runs first: the small level is the
         # longer/hotter run, and this box degrades under sustained load
         # on a minutes timescale — a fixed lo-then-hi order would time
@@ -1297,7 +1325,7 @@ def run_scaling(tmp: str, n_rows: int, n_small: int | None = None,
             _settle()
             r_lo = _invoke(n_small, attempts)
         time.sleep(5)  # let subprocess teardown drain before probing
-        p_hi = cpu_probe(n_small * 4)
+        p_hi = _probe_max2(n_small * 4)
         att_secs.append(time.time() - t_att)
         DETAIL[inflight_key]["attempts"].append({
             "attempt": attempts, "probe_lo": p_lo, "probe_hi": p_hi,
