@@ -897,7 +897,8 @@ def _main_body():
         if do_heavy:
             t_ph = time.time()
             scaling = run_scaling(tmp, n_rows, fresh_wide=probe_fresh_wide,
-                                  tail_reserve=tail_min + COOLDOWN_FLOOR)
+                                  tail_reserve=tail_min + COOLDOWN_FLOOR,
+                                  final_rep_discount=MARGIN)
             detail["scaling"] = scaling
             RESULT["scaling"] = {
                 k: scaling[k]
@@ -1165,7 +1166,8 @@ def parse_pri_ab(n: int = 20000) -> dict:
 def run_scaling(tmp: str, n_rows: int, n_small: int | None = None,
                 reps: int | None = None, include_mid: bool | None = None,
                 fresh_wide: float | None = None,
-                tail_reserve: float = 350) -> dict:
+                tail_reserve: float = 350,
+                final_rep_discount: float = 0) -> dict:
     """Two-cluster-size scaling evidence (north rule: >=0.8 efficiency
     from N to 4N).  Each parallelism level runs in a FRESH python+JVM
     process (JIT warmth must not leak between levels).  The N and 4N
@@ -1300,7 +1302,18 @@ def run_scaling(tmp: str, n_rows: int, n_small: int | None = None,
         # budget gate: never start a rep the clock can't pay for — but
         # always run at least one (the north rule needs a ratio)
         rep_est = (sum(att_secs) / len(att_secs)) if att_secs else 300
-        if runs[n_small] and remaining() < rep_est + tail_reserve:
+        need = rep_est + tail_reserve
+        if final_rep_discount and len(runs[n_small]) == reps - 1:
+            # FINAL wanted rep only: tail_reserve embeds the global
+            # MARGIN on top of per-phase estimates, and the downstream
+            # shed ladder (headline passes 5->3, redos 4->0, query
+            # rounds 3->1) can recover ~150s by itself — so the double
+            # cushion is traded for a 10% buffer on this rep's own
+            # measured cost.  The r6 replication run missed its third
+            # rep by 22s on a certified-slow box and still finished
+            # with 112s of the reserve unspent.
+            need = rep_est * 1.1 + tail_reserve - final_rep_discount
+        if runs[n_small] and remaining() < need:
             budget_stopped = True
             _shed("scaling_reps", window=f"{n_small}to{n_small * 4}",
                   kept=len(runs[n_small]), wanted=reps, reason="budget",
