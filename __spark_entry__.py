@@ -54,12 +54,37 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _fan(df: DataFrame) -> DataFrame:
+    """Spread an unsplittable scan across the cluster before an
+    expensive per-row operator (optimization guide §2.5, input skew).
+
+    The driver tables are single-row-group parquet files, and a parquet
+    split can't cut inside a row group — so no matter what
+    maxPartitionBytes says, the scan yields ONE partition and every
+    downstream Arrow/pandas UDF runs on one core (measured: parse_pri
+    spent 1.7s of its 2.3s in a single-task ArrowEvalPython stage).
+    An explicit round-robin repartition is the only way the work fans
+    out; it is sized from the session's parallelism (scale-adaptive,
+    never a constant) and shuffles only the few narrow columns the
+    query projects.  On a real multi-file table the scan itself fans
+    out and this repartition coalesces to a no-op-sized shuffle of
+    already-parallel input — cheap insurance either way for a
+    Python-boundary operator, per guide §2.5/§4."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 # --------------------------------------------------------------------------
 # synthesized syslog lines from `events` (SQL-derivable ground truth)
 # --------------------------------------------------------------------------
 
-def _pri_lines(spark, sf_dir):
+def _pri_lines(spark, sf_dir, fan: bool = False):
     ev = _read(spark, sf_dir, "events")
+    if fan:
+        # project to the three used columns FIRST so the fan-out
+        # shuffle carries ~24 bytes/row, then synthesize the line on
+        # the fanned partitions (line concat + parse UDF both parallel)
+        ev = _fan(ev.select("event_id", "user_id", "event_type"))
     pri = (F.col("event_id") % 192).cast("int")
     line = F.concat(
         F.lit("<"), pri.cast("string"), F.lit(">Jun  1 12:00:00 host"),
@@ -72,7 +97,9 @@ def _pri_lines(spark, sf_dir):
 
 
 def q_parse_pri(spark, sf_dir):
-    df = parse_syslog(_pri_lines(spark, sf_dir), "raw", OPTS)
+    # fan the events scan across cores before line synthesis and the
+    # parse UDF: the scan is one unsplittable row group (see _fan)
+    df = parse_syslog(_pri_lines(spark, sf_dir, fan=True), "raw", OPTS)
     return df.select(
         "event_id",
         F.col("preamble"),
@@ -138,7 +165,17 @@ def _multiline_lines(ev):
 
 def q_multiline_reassembly(spark, sf_dir):
     lines = _multiline_lines(_read(spark, sf_dir, "events"))
-    return reassemble(lines).select("source", "record_no", "raw")
+    # pre-cluster by source with a PINNED partition count: the window's
+    # own exchange (hashpartitioning(source, shuffle.partitions)) gets
+    # AQE-coalesced to a single task at this input size (4 sources ×
+    # ~1.5 MB), serializing window + group assembly; a user repartition
+    # with an explicit count is exempt from coalescing, satisfies the
+    # window's ClusteredDistribution(source), and the downstream
+    # (source, grp) aggregate reuses it too — same single exchange as
+    # before, now actually parallel across the sources (guide §2.4/§2.5)
+    n = spark.sparkContext.defaultParallelism
+    return reassemble(lines.repartition(n, "source")).select(
+        "source", "record_no", "raw")
 
 
 def q_multiline_parallel(spark, sf_dir):
@@ -533,7 +570,10 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_minhash_signatures(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    # fan the unsplittable documents scan before the signature UDF (see
+    # _fan); the operator itself stays a zero-shuffle narrow map — the
+    # fan-out lives in the caller, where the input layout is known
+    docs = _fan(_read(spark, sf_dir, "documents"))
     return minhash_signatures(docs, num_hashes=4).select(
         "doc_id", "h0", "h1", "h2", "h3"
     )

@@ -22,22 +22,30 @@ def host_dim(spark, n_hosts: int = 400) -> DataFrame:
 
     sites = ["iad", "sfo", "fra", "sin"]
     regions = ["us-east", "us-west", "eu-central", "ap-south"]
-    rows = []
+    # dedup driver-side (first rank wins, deterministic) instead of a
+    # Spark dropDuplicates: the rows are already local Python data, and
+    # dropDuplicates added a 400-row shuffle job to every broadcast
+    # build.  (With the current _hostname pool every host key is unique,
+    # so the kept row set is identical.)  coalesce(1): see
+    # tables.severity_dim — a 400-row dim is one task, not 32.
+    rows: dict[str, tuple] = {}
     for r in range(n_hosts):
         name = _hostname(r)
         host = name.split(".")[0] if not name[0].isdigit() else name
-        rows.append(
+        rows.setdefault(
+            host,
             (
                 host,
                 sites[r % 4],
                 regions[r % 4],
                 round(-60.0 + (r * 37 % 1200) / 10.0, 1),
                 round(-180.0 + (r * 53 % 3600) / 10.0, 1),
-            )
+            ),
         )
     return spark.createDataFrame(
-        rows, "host string, site string, region string, lat double, lon double"
-    ).dropDuplicates(["host"])
+        list(rows.values()),
+        "host string, site string, region string, lat double, lon double",
+    ).coalesce(1)
 
 
 def enrich(parsed: DataFrame, spark=None, with_host_dim: bool = True) -> DataFrame:

@@ -58,6 +58,7 @@ def write_partitioned(
     iceberg_table: str | None = None,
     mode: str = "overwrite",
     max_records_per_file: int = 1_000_000,
+    writer_options: dict[str, str] | None = None,
 ) -> str:
     """Partitioned sink write: Iceberg `writeTo` with identity partition
     transforms when the runtime exists (and a table name is given),
@@ -89,10 +90,9 @@ def write_partitioned(
                 writer = writer.partitionedBy(*[col(c) for c in partition_cols])
             writer.createOrReplace()
         return iceberg_table
-    (
-        df.write.mode(mode)
-        .option("maxRecordsPerFile", max_records_per_file)
-        .partitionBy(*partition_cols)
-        .parquet(parquet_path)
-    )
+    writer = df.write.mode(mode).option("maxRecordsPerFile",
+                                        max_records_per_file)
+    for k, v in (writer_options or {}).items():
+        writer = writer.option(k, v)
+    writer.partitionBy(*partition_cols).parquet(parquet_path)
     return parquet_path

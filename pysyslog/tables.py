@@ -100,8 +100,16 @@ def facility_dim_rows():
 
 
 def severity_dim(spark):
-    return spark.createDataFrame(severity_dim_rows(), "severity_int int, severity_name string")
+    # coalesce(1): createDataFrame slices tiny local rows across
+    # defaultParallelism partitions, so every broadcast build was a
+    # 32-task job (measured ~0.3s each, 3 dims per enrich() per pass);
+    # an 8-row dimension is one task's work
+    return spark.createDataFrame(
+        severity_dim_rows(), "severity_int int, severity_name string"
+    ).coalesce(1)
 
 
 def facility_dim(spark):
-    return spark.createDataFrame(facility_dim_rows(), "facility_int int, facility_name string")
+    return spark.createDataFrame(
+        facility_dim_rows(), "facility_int int, facility_name string"
+    ).coalesce(1)
