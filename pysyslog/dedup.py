@@ -92,14 +92,21 @@ def minhash_signatures(
             # short docs yield one short shingle (slice truncation ==
             # concat_ws skipping the NULLs F.get returns past the end)
             shingles = {" ".join(words[i:i + n]) for i in range(k)}
+            # mins are compared as raw 16-byte digests — hex encoding
+            # is order-preserving byte-wise, so min(digest) ==
+            # unhex(min(hexdigest)); one .hex() per kept min replaces
+            # one hexdigest per (shingle, hash).  The md5 state over
+            # the shingle bytes is built once and copy()d per suffix.
             mins = [None] * num_hashes
             for sh in shingles:
-                b = sh.encode()
+                base = md5(sh.encode())
                 for i, suf in enumerate(suffixes):
-                    h = md5(b + suf).hexdigest()
-                    if mins[i] is None or h < mins[i]:
-                        mins[i] = h
-            out.append(mins)
+                    h = base.copy()
+                    h.update(suf)
+                    d = h.digest()
+                    if mins[i] is None or d < mins[i]:
+                        mins[i] = d
+            out.append([m.hex() for m in mins])
         return pd.Series(out, dtype=object)
 
     sig_col = sigs(F.col(text_col))

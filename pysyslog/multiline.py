@@ -108,7 +108,19 @@ def reassemble_parallel(
     yields 10^7 tiny rows (~100 MB) — raise chunk_rows if the line
     count per giant source grows past that.  The offsets window itself
     runs over those same tiny rows, never the data.
+
+    Input contract: line_no must be NOT NULL (both variants already
+    assume a total per-source order; here a NULL line_no would get a
+    NULL __chunk and be dropped by the inner offsets join, where the
+    serial form's window null-ordering keeps it — so NULL line numbers
+    are out of contract for BOTH, per the r6 ADVICE note).
     """
+    if chunk_rows < 1:
+        # fail at construction, not silently at scale (ADVICE r6):
+        # chunk_rows <= 0 makes line_no/chunk_rows NULL under non-ANSI
+        # division, the NULL __chunk key matches nothing in the inner
+        # offsets join, and the function would return an empty frame
+        raise ValueError(f"chunk_rows must be >= 1, got {chunk_rows}")
     start = _is_start(line_col)
     chunked = df.withColumn(
         "__chunk", F.floor(F.col(line_no_col) / F.lit(chunk_rows)))

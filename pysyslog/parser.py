@@ -19,7 +19,9 @@ with dotted group keys plus `sdata_json` holding canonical JSON
 from __future__ import annotations
 
 import json
+from json.encoder import encode_basestring as _json_str
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -82,6 +84,40 @@ def _flatten_sdata(sdata, prefix="", out=None):
     return out
 
 
+def _sdata_ser(v) -> str:
+    """Fused canon() + json.dumps(sort_keys=True, ensure_ascii=False,
+    separators=(",", ":")) — emits the byte-identical string (property
+    test: tests/test_parser_spark.py::test_sdata_json_serializer_exact)
+    without building the intermediate canon'd object tree.  The string
+    escaper is the same C encode_basestring json.dumps uses under
+    ensure_ascii=False.  Dispatch order mirrors goldens.canon exactly
+    (bool before int, numeric scalars render as their canon string
+    forms, dict keys stringified-then-sorted with last-wins on
+    collision)."""
+    if v is None:
+        return "null"
+    cls = v.__class__
+    if cls is str:
+        return _json_str(v)
+    if cls is dict:
+        d = {}
+        for k, vv in v.items():
+            d[k if k.__class__ is str else str(k)] = vv
+        return "{" + ",".join(
+            f"{_json_str(k)}:{_sdata_ser(d[k])}" for k in sorted(d)) + "}"
+    if cls is bool or isinstance(v, bool):
+        return '"true"' if v else '"false"'
+    if cls is int or isinstance(v, int):
+        return f'"{v}"'
+    if cls is float or isinstance(v, float):
+        return f'"{v!r}"'
+    if isinstance(v, dict):
+        return _sdata_ser(dict(v))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_sdata_ser(e) for e in v) + "]"
+    return _json_str(str(v))
+
+
 def _epoch_us(epoch_str) -> int | None:
     if not epoch_str:
         return None
@@ -103,12 +139,7 @@ def _field_value(msg: dict, f: str, emit_parsed_json: bool):
         return _flatten_sdata(sdata) if isinstance(sdata, dict) else None
     if f == "sdata_json":
         sdata = msg.get("SDATA")
-        return (
-            json.dumps(canon(sdata), sort_keys=True, ensure_ascii=False,
-                       separators=(",", ":"))
-            if sdata is not None
-            else None
-        )
+        return _sdata_ser(sdata) if sdata is not None else None
     if f == "parsed_json":
         return canonical_json(msg) if emit_parsed_json else None
     v = msg.get(f)
@@ -756,7 +787,6 @@ def _fast_cols(parser, raw_list, ext: pd.DataFrame, options,
         sd_out = cols["sdata"]
         sdj_out = cols["sdata_json"]
         jerr_out = cols["_json_error"]
-        dumps = json.dumps
         for i, c in enumerate(content):
             sdata = sdata0[i] if sdata0 is not None else None
             if want_json and "{" in c:
@@ -771,8 +801,7 @@ def _fast_cols(parser, raw_list, ext: pd.DataFrame, options,
                     sdata = _merge(kv, sdata) if sdata else kv
             if sdata is not None:
                 sd_out[i] = _flatten_sdata(sdata)
-                sdj_out[i] = dumps(canon(sdata), sort_keys=True,
-                                   ensure_ascii=False, separators=(",", ":"))
+                sdj_out[i] = _sdata_ser(sdata)
     # prunes (⇔ Line.pm:999-1009)
     if options.prune_empty:
         # the state machine drops EVERY None-or-empty field
@@ -833,10 +862,20 @@ def _slow_cols(parser, raw_list, field_names, plain_fields,
 def _typed_frame(cols, index, field_names) -> pd.DataFrame:
     """Columns dict -> DataFrame without float coercion: pandas turns
     an int+None list into float64, which ROUNDS epoch_us above 2^53
-    (post-2255 timestamps) — keep it object so Arrow gets exact ints."""
-    data = dict(cols)
-    data["epoch_us"] = pd.Series(cols["epoch_us"], index=index, dtype=object)
-    return pd.DataFrame(data, index=index, columns=field_names)
+    (post-2255 timestamps).  EVERY column is wrapped as an object
+    ndarray up front: object dtype keeps ints exact for Arrow, and
+    pre-built ndarrays skip pandas' per-column sanitize/platform-cast
+    path entirely (measured ~0.7µs/row on a 36-column batch)."""
+    data = {}
+    for f in field_names:
+        v = cols[f]
+        if isinstance(v, np.ndarray):
+            data[f] = v
+        else:
+            a = np.empty(len(v), dtype=object)
+            a[:] = v
+            data[f] = a
+    return pd.DataFrame(data, index=index, columns=field_names, copy=False)
 
 
 def _slow_frame(parser, raw: pd.Series, field_names, plain_fields,
@@ -909,7 +948,7 @@ def _parse_batch(parser, raw: pd.Series, options, field_names, plain_fields,
         arr[pos_fast] = fast[f]
         arr[pos_slow] = slow[f]
         out[f] = arr
-    return pd.DataFrame(out, index=raw.index, columns=field_names)
+    return pd.DataFrame(out, index=raw.index, columns=field_names, copy=False)
 
 
 def _get_parser(options: ParserOptions) -> SyslogParser:

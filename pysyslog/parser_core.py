@@ -251,8 +251,14 @@ def kv_sdata(content: str):
     sdata: dict = {}
     for m in RE_KVDATA.finditer(content):
         k, v = m.group(1), m.group(2)
-        v = RE_KV_TRAIL.sub("", v)
-        v = RE_KV_LEAD.sub("", v)
+        # the trim regexes are anchored single-char-class patterns, so
+        # a one-char membership test decides them exactly — most values
+        # are clean and skip both sub() calls (v is never empty:
+        # RE_KVDATA's value group requires at least one \S)
+        if v[-1] in ")]>,;'\"":
+            v = RE_KV_TRAIL.sub("", v)
+        if v and v[0] in "([<'\"":
+            v = RE_KV_LEAD.sub("", v)
         if k in sdata:
             if isinstance(sdata[k], list):
                 sdata[k].append(v)

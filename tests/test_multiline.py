@@ -131,3 +131,18 @@ def test_parallel_reassemble_matches_windowed_on_one_giant_source(spark):
     # giant source (the plan carries __chunk in the window spec)
     plan = par._jdf.queryExecution().executedPlan().toString()
     assert "__chunk" in plan
+
+
+def test_reassemble_parallel_rejects_bad_chunk_rows(spark):
+    """chunk_rows < 1 must raise at construction (ADVICE r6): a
+    non-positive chunk size would NULL the chunk key and silently
+    return an empty frame instead of erroring."""
+    import pytest as _pytest
+
+    from pysyslog.multiline import reassemble_parallel
+
+    df = spark.createDataFrame(
+        [("s", 1, "a line")], "source string, line_no long, line string")
+    for bad in (0, -1):
+        with _pytest.raises(ValueError, match="chunk_rows"):
+            reassemble_parallel(df, chunk_rows=bad)

@@ -249,3 +249,46 @@ def test_fast_path_equals_slow_on_mixed_corpus():
     np_mask = raw.str.extract(
         _fast_regex(option_sets[4]))["content"].notna()
     assert np_mask.mean() > 0.3, np_mask.mean()
+
+
+def test_sdata_json_serializer_exact():
+    """The fused sdata_json serializer (parser._sdata_ser) must emit the
+    byte-identical string to json.dumps(canon(x), sort_keys=True,
+    ensure_ascii=False, separators=(",", ":")) — the form every oracle
+    hash was taken against — over the full generator mix plus
+    adversarial value shapes."""
+    import numpy as np
+
+    from pysyslog.gen import GEN_NOW_EPOCH, synth_lines
+    from pysyslog.goldens import canon
+    from pysyslog.parser import _sdata_ser
+    from pysyslog.parser_core import SyslogParser as Core
+
+    def ref(x):
+        return json.dumps(canon(x), sort_keys=True, ensure_ascii=False,
+                          separators=(",", ":"))
+
+    adversarial = [
+        {"a": "b"},
+        {"k": 1, "j": 2.5, "b": True, "f": False, "n": None},
+        {"g": {"x": "y", "z": [1, "2", None, {"q": False}, 1.5]}},
+        {"uni": "héllo\n\t\"quoted\" \\ \x01\x7f", "€": "ünïcode"},
+        {"1": "strkey", 2: "intkey"},  # key collision: last wins
+        {"nested": {"deep": {"deeper": [1.5e300, -0.0, 7, -3]}}},
+        {"empty": {}, "el": [], "es": "", "tup": (1, "a")},
+        {"big": 2**80, "neg": -(2**70), "tiny": 5e-324},
+    ]
+    for case in adversarial:
+        assert _sdata_ser(case) == ref(case), case
+
+    opts = ParserOptions(now_epoch=GEN_NOW_EPOCH, auto_detect_json=True,
+                         auto_detect_key_values=True)
+    p = Core(opts)
+    lines, _ = synth_lines(np.arange(20000))
+    n_sdata = 0
+    for line in lines:
+        sd = p.parse(line).get("SDATA")
+        if sd is not None:
+            n_sdata += 1
+            assert _sdata_ser(sd) == ref(sd), sd
+    assert n_sdata > 5000  # the corpus really exercises the serializer

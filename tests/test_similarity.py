@@ -180,3 +180,31 @@ def test_banded_signature_udf_rejects_wrapping_band_width():
     with pytest.raises(ValueError, match=r"n_bands"):
         banded_signature_udf(64, 0, 8)
     banded_signature_udf(64, 2, 31)  # boundary: max non-wrapping width
+
+
+def test_cosine_udf_bitwise_equals_expression(spark):
+    """The Arrow cosine twin must be BITWISE equal to the JVM
+    aggregate/zip_with expression over every (corpus, query) pair of
+    the embeddings table — same IEEE-754 operation sequence, so the
+    doubles (and therefore every downstream round/rank/hash) cannot
+    diverge."""
+    from pyspark.sql import functions as F
+
+    from pysyslog.similarity import cosine, cosine_udf
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    pairs = emb.crossJoin(F.broadcast(q))
+    both = pairs.select(
+        "vec_id", "qid",
+        cosine(F.col("embedding"), F.col("qv")).alias("jvm"),
+        cosine_udf()(F.col("embedding"), F.col("qv")).alias("py"),
+    ).collect()
+    import struct
+
+    assert len(both) > 0
+    for r in both:
+        bj = struct.pack("<d", r["jvm"])
+        bp = struct.pack("<d", r["py"])
+        assert bj == bp, (r["vec_id"], r["qid"], r["jvm"], r["py"])
