@@ -24,10 +24,11 @@ def host_dim(spark, n_hosts: int = 400) -> DataFrame:
     regions = ["us-east", "us-west", "eu-central", "ap-south"]
     # dedup driver-side (first rank wins, deterministic) instead of a
     # Spark dropDuplicates: the rows are already local Python data, and
-    # dropDuplicates added a 400-row shuffle job to every broadcast
-    # build.  (With the current _hostname pool every host key is unique,
-    # so the kept row set is identical.)  coalesce(1): see
-    # tables.severity_dim — a 400-row dim is one task, not 32.
+    # dropDuplicates demoted the dim from a LocalRelation — which Spark
+    # broadcasts driver-side with no job at all (see
+    # tables.severity_dim) — to a shuffle job per broadcast build.
+    # (With the current _hostname pool every host key is unique, so the
+    # kept row set is identical.)
     rows: dict[str, tuple] = {}
     for r in range(n_hosts):
         name = _hostname(r)
@@ -45,7 +46,7 @@ def host_dim(spark, n_hosts: int = 400) -> DataFrame:
     return spark.createDataFrame(
         list(rows.values()),
         "host string, site string, region string, lat double, lon double",
-    ).coalesce(1)
+    )
 
 
 def enrich(parsed: DataFrame, spark=None, with_host_dim: bool = True) -> DataFrame:

