@@ -551,7 +551,12 @@ def q_token_stats(spark, sf_dir):
 
 
 def q_quality_score(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    # fan the unsplittable scan: the score is several JVM regexps per
+    # row (~50µs/doc) and otherwise runs on one core (see _fan).  The
+    # pure-agg/join queries (agg_hourly, tpch_*) are deliberately NOT
+    # fanned — measured: their shuffle costs more than the saved
+    # single-partition compute (0.25s -> 1.2s for agg_hourly).
+    docs = _fan(_read(spark, sf_dir, "documents"))
     return with_quality_score(docs).select(
         "doc_id", "alpha_ratio", "stop_ratio", "quality_score"
     )

@@ -71,7 +71,9 @@ def _flatten_sdata(sdata, prefix="", out=None):
         out = {}
     for k, v in sdata.items():
         key = f"{prefix}{k}"
-        if isinstance(v, dict):
+        if v.__class__ is str:  # overwhelmingly the common case
+            out[key] = v
+        elif isinstance(v, dict):
             _flatten_sdata(v, key + ".", out)
         elif isinstance(v, (list, tuple)):
             out[key] = json.dumps(canon(v), ensure_ascii=False, separators=(",", ":"))
