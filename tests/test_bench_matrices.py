@@ -141,12 +141,18 @@ def test_pipeline_run_probe_gate_records_spread_and_plain_medians(
     out = bench_mod.pipeline_run(
         spark, 3000, str(tmp_path / "io"), warmup=False, passes=2,
         probe_gate=gate)
-    assert out["spread_redo_ran"] is False
+    # the redo decision itself is timing-dependent (a cold warmup=False
+    # first pass vs steady state can exceed 3x on a tiny run), so assert
+    # the DECISION matches the RECORDED ratio rather than a fixed outcome
+    assert out["spread_redo_ran"] is (
+        out["kept_spread_ratio_before_redo"] > 3.0)
     assert out["kept_spread_ratio_before_redo"] >= 1.0
     assert out["kept_spread_ratio"] >= 1.0
     ks = sorted(out["passes"])
+    assert len(ks) == (3 if out["spread_redo_ran"] else 2)
     assert out["median_kept_upper"] == ks[len(ks) // 2]
-    expected_true = sum(ks[:2]) / 2 if len(ks) == 2 else ks[len(ks) // 2]
+    expected_true = (ks[len(ks) // 2] if len(ks) % 2
+                     else sum(ks[len(ks) // 2 - 1:len(ks) // 2 + 1]) / 2)
     assert out["median_kept_true"] == pytest.approx(expected_true, abs=5e-4)
     assert out["median_all_incl_discarded"] >= min(ks)
     # reported value stays the lower-middle median on even counts
