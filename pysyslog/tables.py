@@ -99,18 +99,36 @@ def facility_dim_rows():
     return [(v, k) for k, v in sorted(INT_FACILITY.items(), key=lambda kv: kv[1])]
 
 
+def _values_relation(spark, rows, cols: str):
+    """Tiny dimension as a SQL VALUES relation: PySpark's
+    createDataFrame(list) parallelizes the rows into an RDD-backed plan
+    (Scan ExistingRDD), so every broadcast build launches a
+    defaultParallelism-task job — measured 3 jobs x ~0.27s of fixed
+    cost per enrich pass at bench scale.  A VALUES relation is a true
+    LocalRelation (LocalTableScan): Spark builds the broadcast
+    driver-side with NO job at all (plan-pinned by
+    tests/test_plans.py::test_enrich_uses_broadcast_joins_only)."""
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, float):
+            return f"CAST({v!r} AS DOUBLE)"
+        return str(v)
+
+    vals = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    names = ", ".join(
+        f"col{i + 1} AS {c}" for i, c in enumerate(cols.split(", "))
+    )
+    return spark.sql(f"SELECT {names} FROM VALUES {vals}")
+
+
 def severity_dim(spark):
-    # deliberately a bare createDataFrame: the plan stays a
-    # LocalRelation, which Spark broadcasts driver-side without
-    # launching a job at all.  Wrapping it in coalesce/repartition
-    # demotes it to a job-backed broadcast build — measured 2.4x
-    # slower on the enrich stage at bench scale.
-    return spark.createDataFrame(
-        severity_dim_rows(), "severity_int int, severity_name string"
+    return _values_relation(
+        spark, severity_dim_rows(), "severity_int, severity_name"
     )
 
 
 def facility_dim(spark):
-    return spark.createDataFrame(
-        facility_dim_rows(), "facility_int int, facility_name string"
+    return _values_relation(
+        spark, facility_dim_rows(), "facility_int, facility_name"
     )

@@ -40,6 +40,11 @@ def test_enrich_uses_broadcast_joins_only(spark):
     assert plan.count("BroadcastHashJoin") == 3, plan
     assert "SortMergeJoin" not in plan
     assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
+    # dims must be true LocalRelations (LocalTableScan): an RDD-backed
+    # dim (Scan ExistingRDD) launches a defaultParallelism-task job per
+    # broadcast build — measured ~0.8s of fixed cost per enrich pass
+    # (the test's own input df is an ExistingRDD; only the dims count)
+    assert plan.count("LocalTableScan") == 3, plan
 
 
 def test_aggregate_is_partial_final(spark):
