@@ -60,17 +60,29 @@ def route_by_facility_severity(
     tasks, and the salt keeps one hot sink from serializing into a
     single task.
 
-    The salt granularity is sized to the DATA, not a constant: the salt
-    exists so no write task holds more than ~max_records_per_file rows
-    of one hot sink, so the right value is
-    ceil(hot-sink rows / max_records_per_file) — a constant oversized
-    salt at small volume shatters every sink into sub-file-size pieces
-    (measured: salt 4 at 1.2M rows → 636 files of ~1900 rows, 1.6x
-    slower than salt 1's 191 right-sized files), while a constant
-    undersized salt at 10^12 rows serializes a hot sink into one task.
-    Callers that know the input size pass `rows_hint`; the hot sink is
-    budgeted as up to half the corpus.  Explicit `files_per_sink`
-    overrides (and `None` with no hint keeps the legacy 4).
+    The salt granularity is sized to the DATA, per sink (optimization
+    guide §2.5 hot keys / §6 small files).  With `rows_hint` (every
+    pipeline caller), sink sizes are measured with one cheap partial-agg
+    count over the input — ≤ sinks rows collected, callers have already
+    persisted the frame — and each sink gets its own salt width:
+    ceil(sink rows / target) for sinks above 2×target, width 1
+    otherwise, where target = min(max_records_per_file,
+    total // (2 × parallelism)).  A hot sink (the PRI-less user/notice
+    default is 22% of the generated corpus) thus spreads across ~2×
+    parallelism write tasks instead of serializing into one straggler
+    task, while small sinks keep width 1 — one right-sized file each —
+    at EVERY scale.  A uniform data-sized salt (the previous design,
+    ceil(rows_hint / 2×max_records_per_file) for all sinks) is wrong at
+    both ends: at small volume a constant oversized salt shatters every
+    sink into sub-file-size pieces (measured: salt 4 at 1.2M rows → 636
+    files of ~1900 rows, 1.6x slower than 191 right-sized files), and
+    at 10^12 rows a global width of ~250k sprays each TINY sink across
+    every write task — O(sinks × tasks) tiny files.  Per-sink widths
+    are the only shape that is simultaneously straggler-free and
+    shatter-free; the counting pass measured 0.7-0.8s at 600k rows and
+    the A/B (interleaved, 4 reps) read write-incl-count 2.77-2.98s vs
+    uniform 2.91-3.22s.  Explicit `files_per_sink` overrides with a
+    uniform salt (legacy behavior; `None` with no hint keeps 4).
 
     With an Iceberg runtime on the classpath and `iceberg_table` given,
     the identical DataFrame goes through `writeTo(...)` with identity
@@ -78,19 +90,34 @@ def route_by_facility_severity(
     same plan shape."""
     from .iceberg import write_partitioned
 
-    if files_per_sink is None:
-        if rows_hint is None:
-            files_per_sink = 4
-        else:
-            files_per_sink = max(1, -(-rows_hint // (2 * max_records_per_file)))
-
-    path = os.path.join(out_dir, "by_facility_severity")
-    salt = F.pmod(F.xxhash64("doc_id"), F.lit(files_per_sink))
-    routed = (
+    base = (
         enriched.withColumn("facility_name", F.coalesce("facility_name", F.lit("__unknown")))
         .withColumn("severity_name", F.coalesce("severity_name", F.lit("__unknown")))
-        .repartition(F.col("facility_name"), F.col("severity_name"), salt)
     )
+    if files_per_sink is None and rows_hint is not None:
+        par = enriched.sparkSession.sparkContext.defaultParallelism
+        counts = base.groupBy("facility_name", "severity_name").count().collect()
+        total = sum(r["count"] for r in counts) or rows_hint
+        target = max(1, min(max_records_per_file, total // (2 * par)))
+        # at most total/(2*target) ≈ parallelism sinks can exceed
+        # 2*target, so this when-chain stays short at any scale
+        width = F.lit(1)
+        for r in counts:
+            if r["count"] > 2 * target:
+                width = F.when(
+                    (F.col("facility_name") == r["facility_name"])
+                    & (F.col("severity_name") == r["severity_name"]),
+                    F.lit(min(-(-r["count"] // target), 2 * par)),
+                ).otherwise(width)
+        salt = F.pmod(F.xxhash64("doc_id"), width)
+    else:
+        if files_per_sink is None:
+            files_per_sink = 4
+        salt = F.pmod(F.xxhash64("doc_id"), F.lit(files_per_sink))
+
+    path = os.path.join(out_dir, "by_facility_severity")
+    routed = base.repartition(
+        F.col("facility_name"), F.col("severity_name"), salt)
     return write_partitioned(
         routed, path, ROUTE_COLS, iceberg_table=iceberg_table, mode=mode,
         max_records_per_file=max_records_per_file,
